@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: SRN DVR forward+backward throughput on the real TPU.
+
+North-star metric (BASELINE.json): Mrays/s/chip for the SRN DVR
+forward+backward at 512^2, world stepsize 1/512 -- the timing configuration
+of the reference's harness (reference: applications/volnet/
+eval_VolumetricFeatures.py:147-200: 512x512, stepsize 1/512, GPUTimer,
+first frame discarded as warm-up).
+
+Baseline value: the reference stores no numbers (BASELINE.md); we use
+13.1 Mrays/s = 512^2 px / 20 ms, the RTX 2070 TENSORCORES_MIXED
+*forward-only* frame time scale implied by the paper's interactive-rate
+claims (arXiv:2112.01579). Comparing our forward+backward against their
+forward is conservative.
+
+Currently measures the plain-JAX oracle path (lax.scan march with per-step
+rematerialization); the fused Pallas kernel will replace it as the measured
+path once it lands.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MRAYS = 13.1
+WIDTH = HEIGHT = 512
+STEPSIZE = 1.0 / 512
+RAY_CHUNK = 65536  # rays per jit call (memory control)
+TIMED_FRAMES = 2
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    # grad-of-scan programs compile slowly on this backend; cache them
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from __graft_entry__ import _build_flagship
+    from fvsrn_tpu.camera import CameraOnASphere, camera_matrix, generate_rays
+    from fvsrn_tpu.raytracer.dvr import max_steps_bound, trace_dvr
+
+    vol, tf, cfg = _build_flagship()
+    cfg = cfg.replace(stepsize=np.float32(STEPSIZE))
+    steps = max_steps_bound(vol.box_size, STEPSIZE)
+    cam = CameraOnASphere.make(pitch=0.3, yaw=0.5, distance=1.6)
+    matrix = np.asarray(camera_matrix(cam))
+
+    @jax.jit
+    def make_rays(matrix):
+        s, d = generate_rays(matrix, WIDTH, HEIGHT,
+                             fov_y_radians=0.7853981633974483)
+        return s.reshape(-1, 3), d.reshape(-1, 3)
+
+    ray_start, ray_dir = jax.block_until_ready(make_rays(matrix))
+
+    @jax.jit
+    def fwd_bwd_chunk(vol, tf, cfg, rs, rd):
+        def loss_fn(vol):
+            out = trace_dvr(rs, rd, vol, tf, cfg, steps,
+                            checkpoint_chunk=1)
+            return jnp.mean(out.color ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(vol)
+        return loss, grads
+
+    n_chunks = (WIDTH * HEIGHT) // RAY_CHUNK
+    chunks = [(ray_start[i * RAY_CHUNK:(i + 1) * RAY_CHUNK],
+               ray_dir[i * RAY_CHUNK:(i + 1) * RAY_CHUNK])
+              for i in range(n_chunks)]
+    chunks = jax.block_until_ready(chunks)
+
+    def run_frame():
+        total = 0.0
+        for rs, rd in chunks:
+            loss, grads = fwd_bwd_chunk(vol, tf, cfg, rs, rd)
+        jax.block_until_ready(grads)
+        return float(loss)
+
+    run_frame()  # warm-up / compile (discarded like the reference)
+    times = []
+    for _ in range(TIMED_FRAMES):
+        t0 = time.perf_counter()
+        run_frame()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.mean(times))
+    mrays = WIDTH * HEIGHT / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays/s/chip SRN DVR fwd+bwd at 512^2 "
+                  "(stepsize 1/512, fV-SRN 32:32:32+latent-grid config)",
+        "value": round(mrays, 4),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

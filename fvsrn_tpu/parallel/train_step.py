@@ -1,0 +1,92 @@
+"""Sharded training steps (data-parallel over rays/samples).
+
+Original TPU-first machinery (the reference has no distributed path,
+SURVEY.md §2.3). The semantics contract: the sharded step produces the SAME
+updated parameters as the single-device step on the concatenated batch --
+losses here are mean-reductions, so the global gradient is the psum of
+per-shard gradients weighted by shard fraction. Implemented with
+``shard_map`` + explicit ``jax.lax.psum`` so the all-reduce is visible to
+the scheduler and can overlap the backward pass.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.losses import LossNetWorld
+from ..train.world import WorldDataset, evaluate_world
+
+
+def make_dp_world_train_step(mesh: Mesh,
+                             loss: LossNetWorld,
+                             optimizer: optax.GradientTransformation,
+                             axis: str = "data"):
+    """Data-parallel world-space train step.
+
+    Batch arrays are sharded over ``axis`` on their leading dimension;
+    network params and optimizer state are replicated. Per-shard gradients
+    are psum-averaged (equal shard sizes -> pmean == global mean gradient).
+
+    Returns step(network, opt_state, batch) -> (network, opt_state, loss).
+    """
+    def sharded_grads(net, batch: WorldDataset):
+        def local_loss(n):
+            total, _ = evaluate_world(n, batch, loss)
+            return total
+
+        total, grads = jax.value_and_grad(local_loss)(net)
+        # net is unvarying (replicated, P()): jax's shard_map AD already
+        # psums its cotangent across the mesh axis, so `grads` holds the
+        # SUM of per-shard gradients; with equal shard sizes the global
+        # mean gradient is that sum divided by the axis size.
+        size = mesh.shape[axis]
+        grads = jax.tree.map(lambda g: g / size, grads)
+        total = jax.lax.pmean(total, axis)
+        return total, grads
+
+    batch_specs = WorldDataset(
+        positions=P(axis), targets=P(axis), tf=P(axis), time=P(axis),
+        ensemble=P(axis))
+
+    grad_fn = jax.shard_map(
+        sharded_grads, mesh=mesh,
+        in_specs=(P(), batch_specs),
+        out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def step(network, opt_state, batch: WorldDataset):
+        total, grads = grad_fn(network, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, network)
+        network = optax.apply_updates(network, updates)
+        return network, opt_state, total
+
+    return step
+
+
+def make_dp_render(mesh: Mesh, render_rays: Callable, axis: str = "data"):
+    """Shard a flat ray-set renderer over devices.
+
+    ``render_rays(ray_start, ray_dir, *replicated_args) -> pytree of (N, ...)``
+    becomes a function where rays are split over ``axis`` and every other
+    argument is replicated -- ray/tile data parallelism for rendering
+    (BASELINE north star: rays sharded, params replicated).
+    """
+    def wrapper(ray_start, ray_dir, *args):
+        return render_rays(ray_start, ray_dir, *args)
+
+    def sharded(ray_start, ray_dir, *args):
+        in_specs = (P(axis), P(axis)) + tuple(P() for _ in args)
+        # check_vma=False: the DVR march's scan carry starts unvarying
+        # (zeros) and becomes varying, which the strict varying-manual-axes
+        # analysis rejects; the computation is purely per-shard.
+        f = jax.shard_map(wrapper, mesh=mesh, in_specs=in_specs,
+                          out_specs=P(axis), check_vma=False)
+        return f(ray_start, ray_dir, *args)
+
+    return jax.jit(sharded)

@@ -92,7 +92,8 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
               max_steps: int,
               brdf: Any = None,
               tmax_in: Optional[Array] = None,
-              b: int = 0) -> RayEvaluationOutput:
+              b: int = 0,
+              checkpoint_chunk: Optional[int] = None) -> RayEvaluationOutput:
     """March rays through ``volume`` with constant step size.
 
     Args:
@@ -125,6 +126,8 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
     depth0 = jnp.zeros(lead + (1,), dtype)
     prev0 = jnp.full(lead + (1,), -1.0, dtype)
 
+    skip_tf = getattr(volume, "outputs_color", False)
+
     def step(carry, i):
         rgb, alpha, normal_acc, depth_acc, prev = carry
         tcurrent = tmin + i.astype(dtype) * stepsize
@@ -133,21 +136,32 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
             valid = valid & (alpha < config.alpha_early_out)
         position = ray_start + ray_dir * tcurrent
 
-        value, _inside = volume.eval_density(position, ray_dir, b=b)
-        value = value[..., None]
-        density2 = (value - config.density_min) * inv_range
-        require = valid & (value >= config.density_min)
-
-        if config.need_normals:
-            n = volume.eval_normal(position, ray_dir, b=b)
-        else:
+        if skip_tf:
+            # color field: the volume outputs rgbo directly; scale the
+            # absorption by the stepsize manually (reference:
+            # renderer_ray_evaluation_stepping_dvr.cuh:105-111
+            # SKIP_TRANSFER_FUNCTION branch)
+            value4, _inside = volume.eval_density(position, ray_dir, b=b)
+            color1 = value4.at[..., 3].multiply(stepsize)
+            color1 = jnp.where(valid, color1, jnp.zeros_like(color1))
             n = jnp.zeros_like(position)
+            new_prev = prev
+        else:
+            value, _inside = volume.eval_density(position, ray_dir, b=b)
+            value = value[..., None]
+            density2 = (value - config.density_min) * inv_range
+            require = valid & (value >= config.density_min)
 
-        color1 = tf.eval_normalized(
-            jnp.clip(density2[..., 0], 0.0, 1.0), n,
-            prev[..., 0], stepsize, b=b)
-        color1 = jnp.where(require, color1, jnp.zeros_like(color1))
-        new_prev = density2
+            if config.need_normals:
+                n = volume.eval_normal(position, ray_dir, b=b)
+            else:
+                n = jnp.zeros_like(position)
+
+            color1 = tf.eval_normalized(
+                jnp.clip(density2[..., 0], 0.0, 1.0), n,
+                prev[..., 0], stepsize, b=b)
+            color1 = jnp.where(require, color1, jnp.zeros_like(color1))
+            new_prev = density2
 
         if brdf is not None:
             color2 = brdf.eval(color1, position, n, ray_dir, b=b)
@@ -167,9 +181,35 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
         depth_acc = jnp.where(contribute, new_depth, depth_acc)
         return (rgb, alpha, normal_acc, depth_acc, new_prev), None
 
-    (rgb, alpha, normal_acc, depth_acc, _), _ = jax.lax.scan(
-        step, (rgb0, alpha0, normal0, depth0, prev0),
-        jnp.arange(max_steps, dtype=jnp.int32))
+    carry0 = (rgb0, alpha0, normal0, depth0, prev0)
+    if checkpoint_chunk is None:
+        (rgb, alpha, normal_acc, depth_acc, _), _ = jax.lax.scan(
+            step, carry0, jnp.arange(max_steps, dtype=jnp.int32))
+    elif checkpoint_chunk == 1:
+        # per-step rematerialization: the scan stores only the small carry
+        # (9 floats/ray/step) and recomputes the network evaluation in the
+        # backward -- same memory shape as the reference's inverted-blending
+        # backward, paid in recompute instead of algebraic inversion.
+        (rgb, alpha, normal_acc, depth_acc, _), _ = jax.lax.scan(
+            jax.checkpoint(step), carry0,
+            jnp.arange(max_steps, dtype=jnp.int32))
+    else:
+        # sqrt-decomposition rematerialization: outer scan over chunks with
+        # jax.checkpoint'ed inner scans -> O(S/chunk) stored carries +
+        # O(chunk) recompute, the TPU analogue of the reference's
+        # checkpointed trace (applications/volnet/raytracing.py:526-619,
+        # which instead inverts the blending for O(1) memory).
+        chunk = int(checkpoint_chunk)
+        n_chunks = (max_steps + chunk - 1) // chunk
+
+        @jax.checkpoint
+        def chunk_fn(carry, c):
+            return jax.lax.scan(
+                step, carry,
+                c * chunk + jnp.arange(chunk, dtype=jnp.int32))
+
+        (rgb, alpha, normal_acc, depth_acc, _), _ = jax.lax.scan(
+            chunk_fn, carry0, jnp.arange(n_chunks, dtype=jnp.int32))
 
     color = jnp.concatenate([rgb, alpha], axis=-1)
     return RayEvaluationOutput(color=color, normal=normal_acc,

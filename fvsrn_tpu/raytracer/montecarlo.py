@@ -1,0 +1,203 @@
+"""Monte-Carlo volumetric path tracing: delta tracking, NEE, multi-bounce.
+
+Rebuild of ``RayEvaluationMonteCarlo``
+(reference: renderer/ray_evaluation_monte_carlo.h:12-77 and the device code
+renderer/renderer_ray_evaluation_monte_carlo.cuh:59-317), matching the
+PyTorch emulation used for training GT
+(reference: applications/volnet/raytracing.py:331-478).
+
+TPU design:
+- the unbounded delta-tracking ``while`` becomes a ``lax.while_loop`` over
+  all rays with an "any ray still walking" condition -- exactly the
+  reference's warp-synchronized loop exit semantics at batch granularity --
+  plus a hard ``max_iterations`` safety bound;
+- cuRAND per-thread XORWOW (renderer_sampler_curand.cuh) becomes
+  counter-based ``jax.random`` keys folded per ray and per loop iteration,
+  so results are reproducible under any sharding.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..utils.pytree import static_field, struct
+from ..utils.vecmath import dot, intersect_aabb, normalize
+from .dvr import RayEvaluationOutput
+
+
+@struct
+class RayEvaluationMonteCarlo:
+    """Config (reference: ray_evaluation_monte_carlo.h:12-77): spherical
+    area light, scattering bounces, TF-driven absorption with
+    ``max_absorption`` as the delta-tracking majorant."""
+    max_absorption: Array = None        # majorant (from tf.max_absorption())
+    density_min: Array = None
+    density_max: Array = None
+    light_position: Array = None        # (3,)
+    light_radius: Array = None
+    light_intensity: Array = None
+    color_scaling: Array = None
+    num_bounces: int = static_field(default=2)
+    max_iterations: int = static_field(default=512)
+
+    @classmethod
+    def make(cls, max_absorption=10.0, density_min=0.0, density_max=1.0,
+             light_position=(0.0, 2.0, 0.0), light_radius=0.5,
+             light_intensity=1.0, color_scaling=1.0, num_bounces=2,
+             max_iterations=512):
+        f32 = lambda v: np.asarray(v, np.float32)
+        return cls(max_absorption=f32(max_absorption),
+                   density_min=f32(density_min), density_max=f32(density_max),
+                   light_position=f32(light_position),
+                   light_radius=f32(light_radius),
+                   light_intensity=f32(light_intensity),
+                   color_scaling=f32(color_scaling),
+                   num_bounces=num_bounces, max_iterations=max_iterations)
+
+
+class _DeltaResult(NamedTuple):
+    t_out: Array        # (..., 1) >0 iff a medium interaction was sampled
+    hit_position: Array  # (..., 3)
+    hit_color: Array     # (..., 4) TF color at the interaction
+    hit_normal: Array    # (..., 3)
+
+
+def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
+                   volume: Any, tf: Any, config: RayEvaluationMonteCarlo,
+                   need_normals: bool = True, b: int = 0) -> _DeltaResult:
+    """Woodcock/delta tracking (reference: renderer_ray_evaluation_
+    monte_carlo.cuh:75-153 ``deltaTracking``): free-flight sampling against
+    the majorant ``max_absorption``; a tentative collision is real with
+    probability sigma(x)/majorant. Walk starts at ``ray_start`` (t=0) and
+    terminates on leaving the volume (t_out=0) or on a real collision
+    (t_out=t)."""
+    dtype = ray_start.dtype
+    lead = ray_start.shape[:-1]
+    inv_major = 1.0 / config.max_absorption
+    inv_range = 1.0 / (config.density_max - config.density_min)
+
+    def cond(state):
+        it, _key, valid, *_ = state
+        return (it < config.max_iterations) & jnp.any(valid)
+
+    def body(state):
+        it, key, valid, tcur, t_out, hit_pos, hit_col, hit_nrm = state
+        key, k1, k2 = jax.random.split(key, 3)
+        u1 = jax.random.uniform(k1, lead + (1,), dtype, minval=1e-10)
+        tcur = tcur - jnp.log(u1) * inv_major
+        position = ray_start + ray_dir * tcur
+
+        value, inside = volume.eval_density(position, ray_dir, b=b)
+        value = value[..., None]
+        inside = inside[..., None]
+
+        # exited the volume -> terminate with no interaction
+        exit_now = valid & ~inside
+        hit_pos = jnp.where(exit_now, position, hit_pos)
+        t_out = jnp.where(exit_now, 0.0, t_out)
+        valid = valid & inside
+
+        require = valid & (value >= config.density_min)
+        if need_normals:
+            normal = volume.eval_normal(position, ray_dir, b=b)
+        else:
+            normal = jnp.zeros_like(position)
+        density2 = (value - config.density_min) * inv_range
+        color = tf.eval_normalized(jnp.clip(density2[..., 0], 0.0, 1.0),
+                                   normal, None, 1.0, b=b)
+        u2 = jax.random.uniform(k2, lead + (1,), dtype)
+        real_hit = require & (color[..., 3:4] * inv_major > u2)
+        hit_pos = jnp.where(real_hit, position, hit_pos)
+        hit_col = jnp.where(real_hit, color, hit_col)
+        hit_nrm = jnp.where(real_hit, normal, hit_nrm)
+        t_out = jnp.where(real_hit, tcur, t_out)
+        valid = valid & ~real_hit
+        return (it + 1, key, valid, tcur, t_out, hit_pos, hit_col, hit_nrm)
+
+    zero3 = jnp.zeros(lead + (3,), dtype)
+    state = (jnp.int32(0), key,
+             jnp.ones(lead + (1,), bool),
+             jnp.zeros(lead + (1,), dtype),       # tcurrent
+             jnp.zeros(lead + (1,), dtype),       # t_out
+             zero3, jnp.zeros(lead + (4,), dtype), zero3)
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, _, t_out, hit_pos, hit_col, hit_nrm = state
+    return _DeltaResult(t_out, hit_pos, hit_col, hit_nrm)
+
+
+def sample_light_position(key: Array, config: RayEvaluationMonteCarlo,
+                          shape: tuple, dtype) -> Array:
+    """Uniform point on the light sphere's surface
+    (reference: cuh:157-176 ``sampleLightPosition``; the rejection loop is
+    replaced by the exact gaussian-normalization sphere sampler)."""
+    g = jax.random.normal(key, shape + (3,), dtype)
+    return normalize(g) * config.light_radius + config.light_position
+
+
+def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
+             tf: Any, phase: Any, config: RayEvaluationMonteCarlo,
+             b: int = 0) -> RayEvaluationOutput:
+    """Full path-traced evaluation with next-event estimation to the
+    spherical light (reference: cuh:205-313 ``eval``)."""
+    dtype = ray_start.dtype
+    lead = ray_start.shape[:-1]
+    tmin, tmax = intersect_aabb(ray_start, ray_dir,
+                                jnp.asarray(volume.box_min, dtype),
+                                jnp.asarray(volume.box_size, dtype))
+    tmin = jnp.maximum(tmin, 0.0)
+
+    emission = jnp.zeros(lead + (3,), dtype)
+    beta = jnp.ones(lead + (3,), dtype)
+    out_alpha = jnp.zeros(lead + (1,), dtype)
+    out_depth = jnp.zeros(lead + (1,), dtype)
+    out_normal = jnp.zeros(lead + (3,), dtype)
+    position = ray_start + tmin * ray_dir
+    direction = ray_dir
+    valid = jnp.ones(lead + (1,), bool)
+
+    for bounce in range(config.num_bounces + 1):
+        key, k_walk, k_light, k_shadow, k_dir = jax.random.split(key, 5)
+        hit = delta_tracking(k_walk, position, direction, volume, tf,
+                             config, b=b)
+        any_hit = hit.t_out > 0
+        if bounce == 0:
+            out_alpha = jnp.where(valid, any_hit.astype(dtype), out_alpha)
+            out_depth = jnp.where(valid, hit.t_out, out_depth)
+            out_normal = jnp.where(valid, hit.hit_normal, out_normal)
+
+        # medium interaction: modulate throughput
+        beta = jnp.where(
+            any_hit,
+            beta * hit.hit_color[..., :3]
+            * (hit.hit_color[..., 3:4] * config.color_scaling),
+            beta)
+
+        # 1. direct illumination (NEE): shadow ray to the light sphere
+        light_pos = sample_light_position(k_light, config, lead, dtype)
+        light_dir = normalize(light_pos - hit.hit_position)
+        p = phase.prob(direction, light_dir, hit.hit_position, b=b)[..., None]
+        shadow = delta_tracking(k_shadow, hit.hit_position, light_dir,
+                                volume, tf, config, need_normals=False, b=b)
+        unoccluded = shadow.t_out <= 0
+        contrib = beta * (p * config.light_intensity)
+        emission = jnp.where(any_hit & valid & unoccluded,
+                             emission + contrib, emission)
+
+        # 2. scatter into the next direction
+        next_dir = phase.sample(k_dir, direction, hit.hit_position, b=b)
+        pn = phase.prob(direction, next_dir, hit.hit_position, b=b)[..., None]
+        go_on = any_hit & valid
+        beta = jnp.where(go_on, beta * pn, beta)
+        position = jnp.where(go_on, hit.hit_position, position)
+        direction = jnp.where(go_on, next_dir, direction)
+        valid = valid & any_hit
+
+    return RayEvaluationOutput(
+        color=jnp.concatenate([emission, out_alpha], axis=-1),
+        normal=normalize(out_normal + 1e-20),
+        depth=out_depth)

@@ -56,7 +56,7 @@ class TransferFunctionIdentity:
                 if self.scale_absorption_emission.ndim == 2 else 1)
 
     def _params(self, b: int) -> Array:
-        p = self.scale_absorption_emission
+        p = jnp.asarray(self.scale_absorption_emission)
         return p[b] if p.ndim == 2 else p
 
     def eval_normalized(self, density: Array, normal=None,
@@ -95,7 +95,8 @@ class TransferFunctionPiecewiseLinear:
         return self.tensor.shape[0] if self.tensor.ndim == 3 else 1
 
     def _params(self, b: int) -> Array:
-        return self.tensor[b] if self.tensor.ndim == 3 else self.tensor
+        t = jnp.asarray(self.tensor)
+        return t[b] if t.ndim == 3 else t
 
     def eval_normalized(self, density: Array, normal=None,
                         previous_density=None, stepsize=1.0, b: int = 0):
@@ -140,7 +141,8 @@ class TransferFunctionTexture:
         return self.tensor.shape[0] if self.tensor.ndim == 3 else 1
 
     def _params(self, b: int) -> Array:
-        return self.tensor[b] if self.tensor.ndim == 3 else self.tensor
+        t = jnp.asarray(self.tensor)
+        return t[b] if t.ndim == 3 else t
 
     @staticmethod
     def _lookup(table: Array, d: Array) -> Array:
@@ -217,7 +219,8 @@ class TransferFunctionGaussian:
         return self.tensor.shape[0] if self.tensor.ndim == 3 else 1
 
     def _params(self, b: int) -> Array:
-        return self.tensor[b] if self.tensor.ndim == 3 else self.tensor
+        t = jnp.asarray(self.tensor)
+        return t[b] if t.ndim == 3 else t
 
     def eval_normalized(self, density: Array, normal=None,
                         previous_density=None, stepsize=1.0, b: int = 0):

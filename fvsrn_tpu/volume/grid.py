@@ -169,7 +169,8 @@ class VolumeInterpolationGrid:
         return tuple(self.data.shape[-3:])
 
     def _data(self, b: int) -> Array:
-        return self.data[b] if self.data.ndim == 4 else self.data
+        d = jnp.asarray(self.data)
+        return d[b] if d.ndim == 4 else d
 
     def _to_voxel(self, position: Array) -> Array:
         res = jnp.asarray(self.resolution, position.dtype)

@@ -1,0 +1,103 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+single-host vs multi-host allclose equality of images and gradients)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fvsrn_tpu.models.latent import LatentSpace
+from fvsrn_tpu.models.srn import SceneRepresentationNetwork
+from fvsrn_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from fvsrn_tpu.parallel.train_step import (
+    make_dp_render, make_dp_world_train_step)
+from fvsrn_tpu.train.losses import LossNetWorld
+from fvsrn_tpu.train.optimizer import make_optimizer
+from fvsrn_tpu.train.world import WorldDataset, make_train_step
+from fvsrn_tpu.camera import CameraOnASphere, generate_rays
+from fvsrn_tpu.raytracer.dvr import (
+    RayEvaluationSteppingDvr, max_steps_bound, trace_dvr)
+from fvsrn_tpu.transfer import TransferFunctionIdentity
+from fvsrn_tpu.volume.implicit import VolumeInterpolationImplicit
+
+
+def _make_net(rng):
+    latent = LatentSpace(static_grid=jnp.asarray(
+        (rng.standard_normal((4, 8, 8, 8)) * 0.1).astype(np.float32)))
+    return SceneRepresentationNetwork.make(
+        layers="16:16", activation="SnakeAlt:2", num_fourier=4,
+        output_mode="density:direct", latent=latent, seed=2)
+
+
+def _make_batch(rng, n):
+    return WorldDataset(
+        positions=rng.random((n, 3)).astype(np.float32),
+        targets=rng.random((n, 1)).astype(np.float32),
+        tf=np.zeros((n,), np.float32),
+        time=np.zeros((n,), np.float32),
+        ensemble=np.zeros((n,), np.float32))
+
+
+def test_dp_train_step_matches_single_device(rng):
+    """The sharded step must produce the SAME updated params as the
+    single-device step on the full batch."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    net = _make_net(rng)
+    batch = _make_batch(rng, 128)
+    loss = LossNetWorld(mode="density", l1=1.0)
+    opt = make_optimizer("Adam", lr=1e-3)
+
+    # single-device reference
+    step1 = make_train_step(loss, opt)
+    net1, _, total1, _ = step1(net, opt.init(net), batch)
+
+    # sharded
+    netr = replicate(mesh, net)
+    optr = replicate(mesh, opt.init(netr))
+    batchr = shard_batch(mesh, batch)
+    stepN = make_dp_world_train_step(mesh, loss, opt)
+    netN, _, totalN = stepN(netr, optr, batchr)
+
+    np.testing.assert_allclose(float(total1), float(totalN), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(net1), jax.tree.leaves(netN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_render_matches_single_device(rng):
+    """Ray-sharded rendering must equal the single-device image."""
+    mesh = make_mesh(8)
+    vol = VolumeInterpolationImplicit.make("SPHERE")
+    tf = TransferFunctionIdentity.make(absorption=10.0)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=0.05,
+                                        enable_early_out=False)
+    cam = CameraOnASphere.make(distance=1.5)
+    start, direction = generate_rays(cam, 16, 16)
+    s = jnp.reshape(start, (-1, 3))
+    d = jnp.reshape(direction, (-1, 3))
+    steps = max_steps_bound(vol.box_size, 0.05)
+
+    def render_rays(rs, rd, vol, tf, cfg):
+        return trace_dvr(rs, rd, vol, tf, cfg, steps).color
+
+    ref = np.asarray(render_rays(s, d, vol, tf, cfg))
+    sharded = make_dp_render(mesh, render_rays)
+    got = np.asarray(sharded(s, d, vol, tf, cfg))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_graft_entry_singlechip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    a = np.asarray(out)
+    assert a.shape[-1] == 4
+    assert np.isfinite(a).all()
+
+
+def test_graft_entry_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
