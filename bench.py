@@ -13,9 +13,8 @@ Baseline value: the reference stores no numbers (BASELINE.md); we use
 claims (arXiv:2112.01579). Comparing our forward+backward against their
 forward is conservative.
 
-Currently measures the plain-JAX oracle path (lax.scan march with per-step
-rematerialization); the fused Pallas kernel will replace it as the measured
-path once it lands.
+Measures the fused Pallas path: MXU-resident segment-batched MLP march
+with the hand-written adjoint kernel (fvsrn_tpu/ops/fused_dvr[_bwd].py).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
@@ -30,7 +29,7 @@ import numpy as np
 BASELINE_MRAYS = 13.1
 WIDTH = HEIGHT = 512
 STEPSIZE = 1.0 / 512
-RAY_CHUNK = 65536  # rays per jit call (memory control)
+RAY_CHUNK = 262144  # rays per jit call
 TIMED_FRAMES = 2
 
 
@@ -44,7 +43,8 @@ def main():
     import jax.numpy as jnp
     from __graft_entry__ import _build_flagship
     from fvsrn_tpu.camera import CameraOnASphere, camera_matrix, generate_rays
-    from fvsrn_tpu.raytracer.dvr import max_steps_bound, trace_dvr
+    from fvsrn_tpu.ops.fused_dvr import fused_trace_dvr
+    from fvsrn_tpu.raytracer.dvr import max_steps_bound
 
     vol, tf, cfg = _build_flagship()
     cfg = cfg.replace(stepsize=np.float32(STEPSIZE))
@@ -60,14 +60,21 @@ def main():
 
     ray_start, ray_dir = jax.block_until_ready(make_rays(matrix))
 
+    bm = np.asarray(vol.box_min)
+    bs = np.asarray(vol.box_size)
+
     @jax.jit
     def fwd_bwd_chunk(vol, tf, cfg, rs, rd):
-        def loss_fn(vol):
-            out = trace_dvr(rs, rd, vol, tf, cfg, steps,
-                            checkpoint_chunk=1)
-            return jnp.mean(out.color ** 2)
+        def loss_fn(net, tft):
+            c = fused_trace_dvr(
+                rs, rd, net, bm, bs, tft, stepsize=STEPSIZE,
+                max_steps=steps, seg=32, tile=256,
+                enable_early_out=False, differentiable=True,
+                latent_mode="table")
+            return jnp.mean(c ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(vol)
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            vol.network, tf.tensor)
         return loss, grads
 
     n_chunks = (WIDTH * HEIGHT) // RAY_CHUNK

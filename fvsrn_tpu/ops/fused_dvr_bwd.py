@@ -1,0 +1,436 @@
+"""Hand-written backward (adjoint) kernel for the fused SRN DVR segment.
+
+The TPU analogue of the reference's in-kernel wmma adjoint
+(reference: renderer/renderer_volume_tensorcores.cuh:1202-1450 transposed-
+weight backward; renderer/renderer_adjoint.cuh; and the inverse-blending
+trick of applications/volnet/raytracing.py:168-207,552-619):
+
+- the forward is REPLAYED inside the backward kernel (per-segment
+  rematerialization, the O(1)-in-steps memory strategy of the reference's
+  checkpointed trace), storing per-step pre-blend accumulators as unrolled
+  SSA values;
+- compositing adjoint runs the unrolled step loop in reverse;
+- the TF adjoint accumulates control-point gradients with in-kernel
+  reductions (the reference's delayed shared-memory accumulation,
+  renderer_tf_identity.cuh adjointAccumulate pattern);
+- MLP adjoint: transposed-weight matmuls on the MXU, weight gradients
+  contracted over the sample axis, accumulated across ray-tile programs
+  through revisited output blocks (TPU pallas grids execute sequentially).
+
+Not differentiated (v1): ray origins/directions and the trilerp corner
+weights (camera/position gradients) -- use the plain-JAX path for
+camera optimization. Latent-grid gradients flow through the
+``d_rows -> scatter-add -> table -> grid`` chain in XLA.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_dvr import FusedWeights, _apply_act, _weight_list as weights_list
+
+
+def _act_deriv(name: str, x: Array, p: float) -> Array:
+    """d/dx of the activations (reference: renderer_activations.cuh
+    ``adjoint`` halves)."""
+    if name == "ReLU":
+        return (x > 0).astype(x.dtype)
+    if name == "Sine":
+        return p * jnp.cos(p * x)
+    if name == "Sigmoid":
+        s = jax.nn.sigmoid(x)
+        return s * (1 - s)
+    if name == "Softplus":
+        return jax.nn.sigmoid(x)
+    if name == "Snake":
+        return 1.0 + jnp.sin(2 * p * x)
+    if name == "SnakeAlt":
+        return (1.0 + 2 * p * jnp.sin(2 * p * x)) / (2 * p)
+    if name == "None":
+        return jnp.ones_like(x)
+    raise ValueError(name)
+
+
+def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, carry_ref, dcarry_ref,
+                        fourier_ref, w1pos_ref, w1cos_ref, w1sin_ref,
+                        w1lat_ref, b1_ref, *rest_refs,
+                        n_hidden: int, activation: str, act_param: float,
+                        output_direct: bool, has_latent: bool,
+                        latent_table: bool, grid_sizes: tuple,
+                        tf_points: int, blend_beer: bool,
+                        seg: int, tile: int,
+                        density_min: float, density_max: float,
+                        stepsize: float, early_alpha: float,
+                        box_min: tuple, box_size: tuple,
+                        compute_dtype):
+    """Backward of one (ray-tile, segment) program.
+
+    Inputs mirror the forward kernel plus ``dcarry`` (8, tile), the
+    cotangent of the output carry. Outputs (after the weight refs):
+    d_lat, d_carry_in, d_fourier*, d_w1pos, d_w1cos, d_w1sin, d_w1lat,
+    d_b1, d_hidden_w..., d_hidden_b..., d_wout, d_bout, d_tf.
+    Weight/TF gradients accumulate across grid programs.
+    """
+    hw = rest_refs[:n_hidden]
+    hb = rest_refs[n_hidden:2 * n_hidden]
+    wout_ref = rest_refs[2 * n_hidden]
+    bout_ref = rest_refs[2 * n_hidden + 1]
+    tf_ref = rest_refs[2 * n_hidden + 2]
+    outs = rest_refs[2 * n_hidden + 3:]
+    (dlat_ref, dcarry_in_ref, dfourier_ref, dw1pos_ref, dw1cos_ref,
+     dw1sin_ref, dw1lat_ref, db1_ref) = outs[:8]
+    dhw = outs[8:8 + n_hidden]
+    dhb = outs[8 + n_hidden:8 + 2 * n_hidden]
+    dwout_ref = outs[8 + 2 * n_hidden]
+    dbout_ref = outs[8 + 2 * n_hidden + 1]
+    dtf_ref = outs[8 + 2 * n_hidden + 2]
+
+    cd = compute_dtype
+    f32 = jnp.float32
+
+    def mm(a, b):
+        return jnp.dot(a.astype(cd), b.astype(cd),
+                       preferred_element_type=f32)
+
+    def mm_ct(a, b):
+        # contract the sample axis (axis 1 of both): (P, N)x(Q, N)->(P, Q)
+        return jax.lax.dot_general(
+            a.astype(cd), b.astype(cd),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    # ---------------- forward replay ----------------
+    s = s_ref[0, 0].astype(f32)
+    rays = rays_ref[:]
+    tmin = rays[6:7, :]
+    tmax = rays[7:8, :]
+    tval = jnp.concatenate(
+        [tmin + (jnp.float32(jj) + s * seg) * stepsize
+         for jj in range(seg)], axis=1)
+    xs = []
+    for c in range(3):
+        sc = jnp.concatenate([rays[c:c + 1, :]] * seg, axis=1)
+        dc = jnp.concatenate([rays[3 + c:4 + c, :]] * seg, axis=1)
+        xs.append((sc + tval * dc - box_min[c]) / box_size[c])
+    x = jnp.concatenate(xs, axis=0)            # (3, N)
+    n = x.shape[1]
+
+    wrep = None
+    lat = None
+    if has_latent:
+        if latent_table:
+            vx = x[0:1] * float(grid_sizes[0]) - 0.5
+            vy = x[1:2] * float(grid_sizes[1]) - 0.5
+            vz = x[2:3] * float(grid_sizes[2]) - 0.5
+            fx = vx - jnp.floor(vx)
+            fy = vy - jnp.floor(vy)
+            fz = vz - jnp.floor(vz)
+            gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+            w8 = [gz * gy * gx, gz * gy * fx, gz * fy * gx, gz * fy * fx,
+                  fz * gy * gx, fz * gy * fx, fz * fy * gx, fz * fy * fx]
+            wrep = jnp.concatenate(
+                [jnp.broadcast_to(wk, (16, n)) for wk in w8], axis=0)
+            rowsT = lat_ref[:].astype(f32).T    # (128, N)
+            lat = rowsT * wrep
+        else:
+            lat = lat_ref[0]
+
+    fr = mm(fourier_ref[:], x)                 # (F, N)
+    cosf = jnp.cos(fr)
+    sinf = jnp.sin(fr)
+    pre1 = mm(w1pos_ref[:], x) + mm(w1cos_ref[:], cosf) \
+        + mm(w1sin_ref[:], sinf)
+    if lat is not None:
+        pre1 += mm(w1lat_ref[:], lat)
+    pre1 += b1_ref[:].astype(f32)
+    hs = [_apply_act(activation, pre1, act_param)]
+    pres = [pre1]
+    for k in range(n_hidden):
+        pre = mm(hw[k][:], hs[-1]) + hb[k][:].astype(f32)
+        pres.append(pre)
+        hs.append(_apply_act(activation, pre, act_param))
+    y = mm(wout_ref[:], hs[-1]) + bout_ref[:].astype(f32)  # (1, N)
+    if output_direct:
+        value = jnp.clip(y, 0.0, 1.0)
+    else:
+        value = jax.nn.sigmoid(y)
+
+    inv_range = 1.0 / (density_max - density_min)
+    density2 = (value - density_min) * inv_range
+    d_clip = jnp.clip(density2, 0.0, 1.0)
+
+    knots = [tf_ref[k, 4] for k in range(tf_points)]
+    interval = jnp.zeros_like(d_clip, dtype=jnp.int32)
+    for k in range(1, tf_points - 1):
+        interval += (knots[k] <= d_clip).astype(jnp.int32)
+    rgba = [jnp.zeros_like(d_clip) for _ in range(4)]
+    fracs = []
+    sels = []
+    for k in range(tf_points - 1):
+        p0 = knots[k]
+        p1 = knots[k + 1]
+        frac = (jnp.clip(d_clip, p0, p1) - p0) / (p1 - p0)
+        sel = interval == k
+        fracs.append(frac)
+        sels.append(sel)
+        for c in range(4):
+            v = tf_ref[k, c] + frac * (tf_ref[k + 1, c] - tf_ref[k, c])
+            rgba[c] = jnp.where(sel, v, rgba[c])
+    absorption = rgba[3] * stepsize
+
+    # blending replay, saving pre-step accumulators
+    carry = carry_ref[:]
+    alpha = carry[3:4, :]
+    alphas_in = []
+    valids = []
+    requires = []
+    cas = []
+    ws = []
+    absns = []
+    for j in range(seg):
+        sl = (slice(None), slice(j * tile, (j + 1) * tile))
+        valid = (tval[sl] <= tmax) & (alpha < early_alpha)
+        require = valid & (value[sl] >= density_min)
+        absn = jnp.where(require, absorption[sl], 0.0)
+        if blend_beer:
+            ca = 1.0 - jnp.exp(-absn)
+        else:
+            ca = jnp.minimum(1.0, absn)
+        contrib = require & (absn > 0)
+        w = jnp.where(contrib, (1.0 - alpha) * ca, 0.0)
+        alphas_in.append(alpha)
+        valids.append(valid)
+        requires.append(contrib)
+        cas.append(ca)
+        ws.append(w)
+        absns.append(absn)
+        alpha = alpha + w
+
+    # ---------------- adjoint ----------------
+    dcarry = dcarry_ref[:]
+    d_rgb = [dcarry[0:1, :], dcarry[1:2, :], dcarry[2:3, :]]
+    d_alpha = dcarry[3:4, :]
+    # d_prev (carry row 4) only matters for preintegrating TFs; the
+    # piecewise TF ignores previous density -> cotangent stops here.
+
+    d_rgba_steps = [[None] * seg for _ in range(4)]
+    for j in reversed(range(seg)):
+        sl = (slice(None), slice(j * tile, (j + 1) * tile))
+        contrib = requires[j]
+        alpha_in = alphas_in[j]
+        ca = cas[j]
+        w = ws[j]
+        dw = (d_rgb[0] * rgba[0][sl] + d_rgb[1] * rgba[1][sl]
+              + d_rgb[2] * rgba[2][sl] + d_alpha)
+        for c in range(3):
+            d_rgba_steps[c][j] = jnp.where(contrib, w * d_rgb[c], 0.0)
+        d_ca = jnp.where(contrib, (1.0 - alpha_in) * dw, 0.0)
+        d_alpha = d_alpha - jnp.where(contrib, ca * dw, 0.0)
+        if blend_beer:
+            d_absn = d_ca * jnp.exp(-absns[j])
+        else:
+            d_absn = d_ca * (absns[j] < 1.0)
+        d_rgba_steps[3][j] = jnp.where(contrib, d_absn * stepsize, 0.0)
+        # d_rgb passes through unchanged (rgb_out = rgb_in + w*rgba)
+    d_rgba = [jnp.concatenate(d_rgba_steps[c], axis=1) for c in range(4)]
+    dcarry_in_ref[0:3, :] = jnp.concatenate(d_rgb, axis=0)
+    dcarry_in_ref[3:4, :] = d_alpha
+    dcarry_in_ref[4:8, :] = jnp.zeros((4, tile), f32)
+
+    # TF adjoint (reference: piecewise TF control points; gradients for
+    # colors/opacity and knot positions, interior-gated subgradients)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init_tf():
+        for k in range(tf_points):
+            for c in range(8):
+                dtf_ref[k, c] = jnp.float32(0.0)
+
+    d_dclip = jnp.zeros_like(d_clip)
+    for k in range(tf_points - 1):
+        p0 = knots[k]
+        p1 = knots[k + 1]
+        sel = sels[k]
+        frac = fracs[k]
+        interior = sel & (d_clip > p0) & (d_clip < p1)
+        d_frac = jnp.zeros_like(d_clip)
+        for c in range(4):
+            dc = jnp.where(sel, d_rgba[c], 0.0)
+            dtf_ref[k, c] += jnp.sum(dc * (1.0 - frac))
+            dtf_ref[k + 1, c] += jnp.sum(dc * frac)
+            d_frac += dc * (tf_ref[k + 1, c] - tf_ref[k, c])
+        inv_dp = 1.0 / (p1 - p0)
+        d_dclip += jnp.where(interior, d_frac * inv_dp, 0.0)
+        dtf_ref[k, 4] += jnp.sum(
+            jnp.where(interior, d_frac * (frac - 1.0) * inv_dp, 0.0))
+        dtf_ref[k + 1, 4] += jnp.sum(
+            jnp.where(interior, -d_frac * frac * inv_dp, 0.0))
+
+    d_density2 = jnp.where((density2 > 0) & (density2 < 1), d_dclip, 0.0)
+    d_value = d_density2 * inv_range
+    if output_direct:
+        d_y = jnp.where((y > 0) & (y < 1), d_value, 0.0)
+    else:
+        d_y = d_value * value * (1.0 - value)
+
+    # MLP adjoint (transposed weights, contract over samples)
+    @pl.when(first)
+    def _init_w():
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dbout_ref[:] = jnp.zeros_like(dbout_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw1pos_ref[:] = jnp.zeros_like(dw1pos_ref)
+        dw1cos_ref[:] = jnp.zeros_like(dw1cos_ref)
+        dw1sin_ref[:] = jnp.zeros_like(dw1sin_ref)
+        dw1lat_ref[:] = jnp.zeros_like(dw1lat_ref)
+        dfourier_ref[:] = jnp.zeros_like(dfourier_ref)
+        for k in range(n_hidden):
+            dhw[k][:] = jnp.zeros_like(dhw[k])
+            dhb[k][:] = jnp.zeros_like(dhb[k])
+
+    dwout_ref[:] += mm_ct(d_y, hs[-1])
+    dbout_ref[:] += jnp.sum(d_y, axis=1, keepdims=True)
+    dh = mm(wout_ref[:].T, d_y)
+    for k in reversed(range(n_hidden)):
+        dpre = dh * _act_deriv(activation, pres[k + 1], act_param)
+        dhw[k][:] += mm_ct(dpre, hs[k])
+        dhb[k][:] += jnp.sum(dpre, axis=1, keepdims=True)
+        dh = mm(hw[k][:].T, dpre)
+    dpre1 = dh * _act_deriv(activation, pres[0], act_param)
+    db1_ref[:] += jnp.sum(dpre1, axis=1, keepdims=True)
+    dw1pos_ref[:] += mm_ct(dpre1, x)
+    dw1cos_ref[:] += mm_ct(dpre1, cosf)
+    dw1sin_ref[:] += mm_ct(dpre1, sinf)
+    d_cosf = mm(w1cos_ref[:].T, dpre1)
+    d_sinf = mm(w1sin_ref[:].T, dpre1)
+    d_f = -sinf * d_cosf + cosf * d_sinf
+    # position gradients (fourier^T d_f + w1pos^T dpre1) are dropped:
+    # camera is not differentiated through the fused path (v1)
+    dfourier_ref[:] += mm_ct(d_f, x)
+    if has_latent:
+        dw1lat_ref[:] += mm_ct(dpre1, lat)
+        d_lat = mm(w1lat_ref[:].T, dpre1)      # (128|CL, N)
+        if latent_table:
+            dlat_ref[:] = (d_lat * wrep).T.astype(dlat_ref.dtype)
+        else:
+            dlat_ref[0] = d_lat
+    else:
+        dlat_ref[:] = jnp.zeros_like(dlat_ref)
+
+
+def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
+                    n_samples, seg, tile, cl, use_table, has_latent,
+                    n_hidden, kernel_kwargs, lat_shape, lat_dtype,
+                    interpret):
+    """Build the custom-VJP segment op: (s, rays, lat, carry, weights,
+    tf_pad) -> carry_out, with the hand-written backward kernel."""
+    dtype = jnp.float32
+
+    fwd_call = pl.pallas_call(
+        kernel_fwd,
+        grid_spec=grid_spec_fwd,
+        out_shape=jax.ShapeDtypeStruct((8, r_total), dtype),
+        interpret=interpret,
+    )
+
+    kernel_bwd = functools.partial(_segment_bwd_kernel,
+                                   n_hidden=n_hidden, **kernel_kwargs)
+
+    def segment(s_arr, rays, lat, carry, weights: FusedWeights,
+                tf_pad):
+        return fwd_call(s_arr, rays, lat, carry,
+                        *weights_list(weights, tf_pad))
+
+    segment = jax.custom_vjp(segment)
+
+    def segment_fwd(s_arr, rays, lat, carry, weights, tf_pad):
+        out = fwd_call(s_arr, rays, lat, carry,
+                       *weights_list(weights, tf_pad))
+        return out, (s_arr, rays, lat, carry, weights, tf_pad)
+
+    def segment_bwd(res, d_out):
+        s_arr, rays, lat, carry, weights, tf_pad = res
+        wlist = weights_list(weights, tf_pad)
+        n_w = len(wlist)
+
+        lat_spec = (pl.BlockSpec((n_samples, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM) if use_table
+                    else pl.BlockSpec((1, cl, n_samples),
+                                      lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            lat_spec,
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # carry
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # dcarry
+        ] + [
+            pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for w in wlist
+        ]
+        # outputs: d_lat (blocked per tile), d_carry_in (blocked),
+        # then accumulated weight/tf grads (constant index maps)
+        out_specs = [
+            lat_spec,
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for w in wlist[:-1]    # all weights except tf...
+        ] + [
+            pl.BlockSpec(wlist[-1].shape,
+                         (lambda i, nd=wlist[-1].ndim: (0,) * nd),
+                         memory_space=pltpu.SMEM)    # d_tf (scalar accum)
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct(lat_shape, lat_dtype),
+            jax.ShapeDtypeStruct((8, r_total), dtype),
+        ] + [jax.ShapeDtypeStruct(w.shape, dtype) for w in wlist]
+
+        bwd_call = pl.pallas_call(
+            kernel_bwd,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+        outs = bwd_call(s_arr, rays, lat, carry, d_out, *wlist)
+        d_lat, d_carry = outs[0], outs[1]
+        dw = list(outs[2:])
+        # unpack back into FusedWeights + tf cotangents; order matches
+        # weights_list: fourier, w1pos, w1cos, w1sin, w1lat, b1,
+        # hidden_w..., hidden_b..., w_out, b_out, tf
+        d_fourier, d_w1pos, d_w1cos, d_w1sin, d_w1lat, d_b1 = dw[:6]
+        k = 6
+        nh = n_hidden
+        d_hw = tuple(dw[k:k + nh]); k += nh
+        d_hb = tuple(dw[k:k + nh]); k += nh
+        d_wout, d_bout, d_tf = dw[k], dw[k + 1], dw[k + 2]
+        d_weights = FusedWeights(
+            fourier=d_fourier, w1_pos=d_w1pos, w1_cos=d_w1cos,
+            w1_sin=d_w1sin,
+            w1_lat=d_w1lat if has_latent else None,
+            b1=d_b1, hidden_w=d_hw, hidden_b=d_hb,
+            w_out=d_wout, b_out=d_bout)
+        return (jnp.zeros((1, 1), jnp.float32), jnp.zeros_like(rays),
+                d_lat.astype(lat_dtype), d_carry, d_weights, d_tf)
+
+    segment.defvjp(segment_fwd, segment_bwd)
+    return segment
