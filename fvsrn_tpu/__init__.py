@@ -23,5 +23,14 @@ from .transfer import (
     TransferFunctionPiecewiseLinear,
     TransferFunctionTexture,
 )
+from .inference import LoadedModel
+from .models.latent import LatentSpace
+from .models.network_volume import VolumeInterpolationNetwork
+from .models.srn import SceneRepresentationNetwork
+from .modules.registry import load_from_json
+from .phase import PhaseFunctionHenyeyGreenstein, PhaseFunctionRayleigh
+from .raytracer.montecarlo import RayEvaluationMonteCarlo, trace_mc
+from .volume.ensemble import VolumeEnsembleFactory
 from .volume.grid import VolumeInterpolationGrid
 from .volume.implicit import VolumeInterpolationImplicit, create_implicit_grid
+from .volume.volume import Volume

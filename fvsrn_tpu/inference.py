@@ -1,0 +1,180 @@
+"""Inference: load trained runs, render references and networks, time them.
+
+Rebuild of ``LoadedModel`` (reference: applications/volnet/inference.py:
+26-692): reconstructs the SRN from a run checkpoint, offers the evaluation
+modes of the reference (tensor-core fused vs pytorch plain, fp16 vs fp32)
+mapped to their TPU equivalents, renders the reference volume or the
+network through the same image evaluator, and provides the GPUTimer-style
+benchmark helper used by all eval scripts
+(reference: eval_VolumetricFeatures.py:147-200).
+
+Eval modes (reference: inference.py EvalMode):
+- FUSED        -> Pallas fused kernel, f32 accumulate (TENSORCORES_MIXED)
+- FUSED_BF16   -> Pallas fused kernel, bf16 matmuls (TENSORCORES_SHARED)
+- PLAIN32      -> plain-JAX scan path, f32 (PYTORCH32)
+- PLAIN16      -> plain-JAX scan path, bf16 params (PYTORCH16)
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import CameraOnASphere, camera_matrix, generate_rays
+from .models.network_volume import VolumeInterpolationNetwork
+from .models.srn import SceneRepresentationNetwork
+from .raytracer.dvr import (RayEvaluationSteppingDvr, max_steps_bound,
+                            trace_dvr)
+from .train.checkpoints import RunCheckpoint
+from .transfer import TransferFunctionPiecewiseLinear
+from .utils.timer import GPUTimer
+
+EVAL_MODES = ("FUSED", "FUSED_BF16", "PLAIN32", "PLAIN16")
+
+
+class LoadedModel:
+    """A trained SRN + rendering configuration loaded from a run file
+    (reference: inference.py:26-200)."""
+
+    def __init__(self, network: SceneRepresentationNetwork, tf,
+                 config: Optional[RayEvaluationSteppingDvr] = None,
+                 reference_volume=None,
+                 box_min=(-0.5, -0.5, -0.5), box_size=(1.0, 1.0, 1.0)):
+        self.network = network
+        self.tf = tf
+        self.config = config or RayEvaluationSteppingDvr.make(
+            stepsize=1 / 256)
+        self.reference_volume = reference_volume
+        self.box_min = np.asarray(box_min, np.float32)
+        self.box_size = np.asarray(box_size, np.float32)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, epoch: Optional[int] = None,
+                        tf=None, reference_volume=None) -> "LoadedModel":
+        """Rebuild from an hdf5 run file
+        (reference: inference.py:112-189)."""
+        with RunCheckpoint(path, "r") as ck:
+            network = ck.load_weights(epoch)
+        if tf is None:
+            tf = TransferFunctionPiecewiseLinear.make(
+                rgb=[[1.0, 1.0, 1.0]] * 2, opacity=[0.0, 50.0],
+                positions=[0.0, 1.0])
+        return cls(network, tf, reference_volume=reference_volume)
+
+    @classmethod
+    def from_volnet(cls, path: str, tf=None) -> "LoadedModel":
+        from .models.export import load_volnet
+        net, box_min, box_size = load_volnet(path)
+        if tf is None:
+            tf = TransferFunctionPiecewiseLinear.make(
+                rgb=[[1.0, 1.0, 1.0]] * 2, opacity=[0.0, 50.0],
+                positions=[0.0, 1.0])
+        return cls(net, tf, box_min=box_min, box_size=box_size)
+
+    def save_volnet(self, path: str, grid_encoding: int = 0):
+        from .models.export import save_volnet
+        save_volnet(self.network, path, box_min=tuple(self.box_min),
+                    box_size=tuple(self.box_size),
+                    grid_encoding=grid_encoding)
+
+    # -- cameras (reference: inference.py camera helpers) ---------------
+    @staticmethod
+    def rotation_cameras(num: int, distance: float = 1.6,
+                         pitch: float = 0.3) -> list[CameraOnASphere]:
+        return [CameraOnASphere.make(pitch=pitch,
+                                     yaw=2 * np.pi * i / num,
+                                     distance=distance)
+                for i in range(num)]
+
+    # -- rendering -------------------------------------------------------
+    def render_reference(self, camera, width: int, height: int):
+        """Render the ground-truth volume (reference: inference.py
+        ``render_reference``)."""
+        if self.reference_volume is None:
+            raise ValueError("no reference volume attached")
+        return self._render_volume(self.reference_volume, camera, width,
+                                   height)
+
+    def render_network(self, camera, width: int, height: int,
+                       mode: str = "FUSED"):
+        """(reference: inference.py:529-660 ``render_network``)"""
+        if mode not in EVAL_MODES:
+            raise ValueError(f"mode must be one of {EVAL_MODES}")
+        stepsize = float(np.asarray(self.config.stepsize))
+        steps = max_steps_bound(self.box_size, stepsize)
+        matrix = np.asarray(camera_matrix(camera))
+        rs, rd = generate_rays(matrix, width, height,
+                               camera.fov_y_radians)
+        rs = rs.reshape(-1, 3)
+        rd = rd.reshape(-1, 3)
+        if mode.startswith("FUSED"):
+            from .ops.fused_dvr import fused_trace_dvr
+            tile = 128
+            pad = (-rs.shape[0]) % tile
+            if pad:
+                rs = jnp.concatenate([rs, jnp.zeros((pad, 3))], axis=0)
+                rd = jnp.concatenate([rd, jnp.ones((pad, 3))], axis=0)
+            color = fused_trace_dvr(
+                rs, rd, self.network, self.box_min, self.box_size,
+                self.tf.tensor, stepsize=stepsize, max_steps=steps,
+                density_min=float(np.asarray(self.config.density_min)),
+                density_max=float(np.asarray(self.config.density_max)),
+                tile=tile,
+                compute_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
+                else jnp.float32,
+                table_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
+                else jnp.float32)
+            if pad:
+                color = color[:-pad]
+        else:
+            net = self.network
+            if mode == "PLAIN16":
+                net = jax.tree.map(
+                    lambda a: jnp.asarray(a, jnp.bfloat16).astype(
+                        jnp.float32), net)
+            vol = VolumeInterpolationNetwork.make(
+                net, box_min=self.box_min, box_size=self.box_size)
+            color = trace_dvr(rs, rd, vol, self.tf, self.config,
+                              steps).color
+        return color.reshape(height, width, 4)
+
+    def _render_volume(self, volume, camera, width, height):
+        stepsize = float(np.asarray(self.config.stepsize))
+        steps = max_steps_bound(np.asarray(volume.box_size), stepsize)
+        matrix = np.asarray(camera_matrix(camera))
+        rs, rd = generate_rays(matrix, width, height,
+                               camera.fov_y_radians)
+        out = trace_dvr(rs.reshape(-1, 3), rd.reshape(-1, 3), volume,
+                        self.tf, self.config, steps)
+        return out.color.reshape(height, width, 4)
+
+    # -- benchmarking (reference: eval_VolumetricFeatures.py:147-200) ----
+    def time_rendering(self, cameras, width: int = 512, height: int = 512,
+                       mode: str = "FUSED"):
+        """Frame times over cameras, first frame discarded as warm-up.
+        Returns (mean_ms, std_ms, per_frame_ms)."""
+        timer = GPUTimer()
+        times = []
+        for i, cam in enumerate(cameras):
+            timer.start()
+            out = self.render_network(cam, width, height, mode)
+            jax.block_until_ready(out)
+            ms = timer.stop()
+            if i > 0:  # warm-up discard (reference: :188)
+                times.append(ms)
+        arr = np.asarray(times) if times else np.asarray([0.0])
+        return float(arr.mean()), float(arr.std()), arr
+
+
+def compare_modes(model: LoadedModel, camera, width=64, height=64,
+                  modes=("FUSED", "PLAIN32")):
+    """Cross-implementation MSE table
+    (reference: inference.py:660-672)."""
+    images = {m: np.asarray(model.render_network(camera, width, height, m))
+              for m in modes}
+    base = modes[0]
+    return {m: float(np.mean((images[m] - images[base]) ** 2))
+            for m in modes}

@@ -1,0 +1,153 @@
+"""Screen-space SRN training: differentiable rendering loss.
+
+Rebuild of the reference's screen-space path:
+- dataset: fibonacci-sphere cameras + ground-truth renders of the
+  reference volume (reference: applications/volnet/training_data.py:
+  408-522 screen dataset), with optional per-ray alpha-based rejection
+  subsampling;
+- evaluation: differentiable trace of the SRN + image loss
+  (reference: applications/volnet/evaluation.py:17-57 ``EvaluateScreen``,
+  raytracing.py checkpointed trace);
+- training loop: minibatches of cameras, Adam+StepLR, NaN abort
+  (reference: train_volnet.py:225-353).
+
+The differentiable trace is the plain-JAX scan with per-step
+rematerialization; swap in the fused Pallas path via ``use_fused=True``
+for supported configurations (density SRN + piecewise TF).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import Array
+
+from ..camera import fibonacci_sphere_cameras, generate_rays
+from ..models.network_volume import VolumeInterpolationNetwork
+from ..raytracer.dvr import (RayEvaluationSteppingDvr, max_steps_bound,
+                             trace_dvr)
+from .losses import LossNetScreen
+
+
+class ScreenDataset(NamedTuple):
+    """Per-camera rays + ground-truth rgba images (flattened)."""
+    ray_start: Array   # (C, H*W, 3)
+    ray_dir: Array     # (C, H*W, 3)
+    targets: Array     # (C, H*W, 4)
+    width: int
+    height: int
+
+
+def build_screen_dataset(volume, tf, config: RayEvaluationSteppingDvr,
+                         *, num_cameras: int = 16, width: int = 64,
+                         height: int = 64, distance: float = 1.6,
+                         center=(0.0, 0.0, 0.0),
+                         max_steps: Optional[int] = None,
+                         render_chunk: int = 8192) -> ScreenDataset:
+    """Render GT images from fibonacci-sphere cameras
+    (reference: training_data.py:408-452)."""
+    cams = fibonacci_sphere_cameras(num_cameras, center=center,
+                                    distance=distance)
+    start, direction = generate_rays(cams, width, height)
+    start = start.reshape(num_cameras, -1, 3)
+    direction = direction.reshape(num_cameras, -1, 3)
+    if max_steps is None:
+        max_steps = max_steps_bound(np.asarray(volume.box_size),
+                                    float(np.asarray(config.stepsize)))
+
+    @jax.jit
+    def render(rs, rd):
+        return trace_dvr(rs, rd, volume, tf, config, max_steps).color
+
+    targets = []
+    for c in range(num_cameras):
+        outs = [render(start[c, i:i + render_chunk],
+                       direction[c, i:i + render_chunk])
+                for i in range(0, start.shape[1], render_chunk)]
+        targets.append(jnp.concatenate(outs, axis=0))
+    return ScreenDataset(ray_start=start, ray_dir=direction,
+                         targets=jnp.stack(targets), width=width,
+                         height=height)
+
+
+def evaluate_screen(network, batch_rays_start, batch_rays_dir,
+                    batch_targets, tf, config: RayEvaluationSteppingDvr,
+                    loss: LossNetScreen, max_steps: int,
+                    width: int, height: int, use_fused: bool = False):
+    """Differentiable render + image loss
+    (reference: evaluation.py:17-57)."""
+    netvol = VolumeInterpolationNetwork.make(network)
+    if use_fused:
+        from ..ops.fused_dvr import fused_trace_dvr
+        color = fused_trace_dvr(
+            batch_rays_start.reshape(-1, 3),
+            batch_rays_dir.reshape(-1, 3), network,
+            np.asarray(netvol.box_min), np.asarray(netvol.box_size),
+            tf.tensor, stepsize=float(np.asarray(config.stepsize)),
+            max_steps=max_steps, enable_early_out=False,
+            differentiable=True)
+    else:
+        out = trace_dvr(batch_rays_start.reshape(-1, 3),
+                        batch_rays_dir.reshape(-1, 3), netvol, tf,
+                        config, max_steps, checkpoint_chunk=1)
+        color = out.color
+    b = batch_targets.shape[0] if batch_targets.ndim == 3 else 1
+    pred = jnp.moveaxis(color.reshape(b, height, width, 4), -1, 1)
+    ref = jnp.moveaxis(batch_targets.reshape(b, height, width, 4), -1, 1)
+    return loss(pred, ref, return_individual=True)
+
+
+def train_screen(network, dataset: ScreenDataset, tf,
+                 config: RayEvaluationSteppingDvr,
+                 loss: LossNetScreen,
+                 optimizer: optax.GradientTransformation,
+                 *, epochs: int, cameras_per_batch: int = 1,
+                 max_steps: Optional[int] = None, key=None,
+                 use_fused: bool = False, callback=None):
+    """Epoch loop over camera minibatches
+    (reference: train_volnet.py:238-251, screen mode).
+
+    Returns (network, history)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_cams = dataset.ray_start.shape[0]
+    if max_steps is None:
+        max_steps = max_steps_bound(
+            (1.0, 1.0, 1.0), float(np.asarray(config.stepsize)))
+    opt_state = optimizer.init(network)
+
+    @jax.jit
+    def step(network, opt_state, rs, rd, tgt):
+        def loss_fn(net):
+            total, individual = evaluate_screen(
+                net, rs, rd, tgt, tf, config, loss, max_steps,
+                dataset.width, dataset.height, use_fused=use_fused)
+            return total, individual
+
+        (total, individual), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(network)
+        updates, opt_state = optimizer.update(grads, opt_state, network)
+        network = optax.apply_updates(network, updates)
+        return network, opt_state, total
+
+    history = []
+    for e in range(epochs):
+        key, sub = jax.random.split(key)
+        perm = np.asarray(jax.random.permutation(sub, n_cams))
+        totals = []
+        for i in range(0, n_cams, cameras_per_batch):
+            idx = perm[i:i + cameras_per_batch]
+            network, opt_state, total = step(
+                network, opt_state, dataset.ray_start[idx],
+                dataset.ray_dir[idx], dataset.targets[idx])
+            totals.append(float(total))
+        history.append(float(np.mean(totals)))
+        if callback is not None:
+            callback(e, network, history[-1])
+        if not np.isfinite(history[-1]):
+            raise FloatingPointError(
+                f"screen training loss became non-finite at epoch {e}")
+    return network, history

@@ -1,0 +1,121 @@
+"""Monte-Carlo path tracing + phase function tests
+(reference: unittests/testPhaseFunction.cpp:25-106;
+renderer_ray_evaluation_monte_carlo.cuh)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fvsrn_tpu.camera import CameraOnASphere, generate_rays
+from fvsrn_tpu.phase import (
+    PhaseFunctionHenyeyGreenstein, PhaseFunctionRayleigh,
+    direction_from_angle)
+from fvsrn_tpu.raytracer.montecarlo import (
+    RayEvaluationMonteCarlo, delta_tracking, trace_mc)
+from fvsrn_tpu.transfer import TransferFunctionIdentity
+from fvsrn_tpu.volume.implicit import VolumeInterpolationImplicit
+
+
+def test_hg_phase_normalized():
+    """The HG pdf integrates to 1 over the sphere."""
+    hg = PhaseFunctionHenyeyGreenstein.make(g=0.5)
+    # integrate p(cos) * 2pi over cos in [-1, 1]
+    cos = jnp.linspace(-1, 1, 20001)
+    p = hg.prob_angle(cos)
+    integral = float(jnp.trapezoid(p, cos) * 2 * np.pi)
+    np.testing.assert_allclose(integral, 1.0, atol=1e-3)
+
+
+def test_rayleigh_phase_normalized():
+    r = PhaseFunctionRayleigh.make()
+    cos = jnp.linspace(-1, 1, 20001)
+    integral = float(jnp.trapezoid(r.prob_angle(cos), cos) * 2 * np.pi)
+    np.testing.assert_allclose(integral, 1.0, atol=1e-3)
+
+
+def test_hg_sampling_matches_pdf():
+    """Sampled cos-angles reproduce the HG mean cos = g
+    (the reference verifies sampling against probAngle,
+    testPhaseFunction.cpp)."""
+    g = 0.4
+    hg = PhaseFunctionHenyeyGreenstein.make(g=g)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (200000,))
+    cos = np.asarray(hg.sample_angle(u))
+    # convention: sample_angle returns -cosTheta of the scattering frame;
+    # the mean of the HG distribution over its cos variable is g
+    np.testing.assert_allclose(np.mean(-cos), g, atol=0.01)
+
+
+def test_direction_from_angle_unit_and_angle(rng):
+    d_in = jnp.asarray(rng.standard_normal((100, 3)), jnp.float32)
+    d_in = d_in / jnp.linalg.norm(d_in, axis=1, keepdims=True)
+    cos_t = jnp.asarray(rng.uniform(-1, 1, 100), jnp.float32)
+    u = jnp.asarray(rng.random(100), jnp.float32)
+    out = direction_from_angle(d_in, cos_t, u)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-5)
+    got = np.sum(np.asarray(-d_in) * np.asarray(out), axis=1)
+    np.testing.assert_allclose(got, np.asarray(cos_t), atol=1e-5)
+
+
+def _mc_scene():
+    vol = VolumeInterpolationImplicit.make("SPHERE")
+    tf = TransferFunctionIdentity.make(absorption=8.0, emission=1.0)
+    cfg = RayEvaluationMonteCarlo.make(
+        max_absorption=8.0, density_min=0.3, light_intensity=2.0,
+        num_bounces=1, max_iterations=128)
+    return vol, tf, cfg
+
+
+def test_delta_tracking_statistics():
+    """Free-flight sampling: rays through the sphere must produce hits
+    with depth inside the volume; rays missing it must report t_out=0."""
+    vol, tf, cfg = _mc_scene()
+    n = 512
+    # start ON the box boundary: delta tracking terminates on the first
+    # sample outside the volume (reference semantics; trace_mc advances
+    # to tmin before walking)
+    start = jnp.tile(jnp.asarray([[-0.499, 0.0, 0.0]]), (n, 1))
+    direction = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    res = delta_tracking(jax.random.PRNGKey(0), start, direction, vol,
+                         tf, cfg)
+    hits = np.asarray(res.t_out)[:, 0]
+    assert (hits > 0).mean() > 0.9  # dense sphere: nearly always collides
+    # interactions happen inside the box [-0.5, 0.5]
+    x_hit = np.asarray(res.hit_position)[hits > 0, 0]
+    assert (np.abs(x_hit) <= 0.51).all()
+
+    # ray that misses the volume entirely
+    start2 = jnp.asarray([[-1.0, 5.0, 0.0]])
+    res2 = delta_tracking(jax.random.PRNGKey(1), start2, direction[:1],
+                          vol, tf, cfg)
+    assert float(res2.t_out[0, 0]) == 0.0
+
+
+def test_trace_mc_renders():
+    vol, tf, cfg = _mc_scene()
+    phase = PhaseFunctionHenyeyGreenstein.make(g=0.0)
+    cam = CameraOnASphere.make(distance=1.5)
+    start, direction = generate_rays(cam, 8, 8)
+    out = trace_mc(jax.random.PRNGKey(0),
+                   start.reshape(-1, 3), direction.reshape(-1, 3),
+                   vol, tf, phase, cfg)
+    a = np.asarray(out.color)
+    assert np.isfinite(a).all()
+    assert a[:, 3].max() > 0.5   # alpha = first-bounce hit indicator
+    assert a[:, :3].max() > 0.0  # some emission reaches the camera
+
+
+def test_trace_mc_unbiased_alpha():
+    """MC alpha estimates the sphere's hit probability: averaged over
+    samples it must agree with the analytic silhouette coverage of the
+    center pixel (always a hit)."""
+    vol, tf, cfg = _mc_scene()
+    phase = PhaseFunctionRayleigh.make()
+    n = 256
+    start = jnp.tile(jnp.asarray([[-1.5, 0.0, 0.0]]), (n, 1))
+    direction = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    out = trace_mc(jax.random.PRNGKey(0), start, direction, vol, tf,
+                   phase, cfg)
+    alpha = float(np.mean(np.asarray(out.color)[:, 3]))
+    # analytic: optical depth of the center chord ~2.8 -> hit prob ~0.94
+    np.testing.assert_allclose(alpha, 0.94, atol=0.05)

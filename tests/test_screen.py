@@ -1,0 +1,66 @@
+"""Screen-space training tests (reference: BASELINE config 4; semantics
+from applications/volnet/evaluation.py + training_data.py screen mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fvsrn_tpu.models.srn import SceneRepresentationNetwork
+from fvsrn_tpu.raytracer.dvr import RayEvaluationSteppingDvr
+from fvsrn_tpu.train.losses import LossNetScreen
+from fvsrn_tpu.train.optimizer import make_optimizer
+from fvsrn_tpu.train.screen import build_screen_dataset, train_screen
+from fvsrn_tpu.transfer import TransferFunctionPiecewiseLinear
+from fvsrn_tpu.volume.implicit import VolumeInterpolationImplicit
+
+
+def _setup():
+    vol = VolumeInterpolationImplicit.make("SPHERE")
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.9, 0.4, 0.1], [0.9, 0.9, 0.3]],
+        opacity=[0.0, 20.0], positions=[0.0, 1.0])
+    cfg = RayEvaluationSteppingDvr.make(stepsize=1 / 24,
+                                        enable_early_out=False)
+    return vol, tf, cfg
+
+
+def test_build_screen_dataset():
+    vol, tf, cfg = _setup()
+    ds = build_screen_dataset(vol, tf, cfg, num_cameras=3, width=16,
+                              height=16)
+    assert ds.ray_start.shape == (3, 256, 3)
+    assert ds.targets.shape == (3, 256, 4)
+    a = np.asarray(ds.targets)
+    assert np.isfinite(a).all()
+    assert a[..., 3].max() > 0.5  # sphere visible from every camera
+
+
+def test_screen_training_reduces_loss():
+    vol, tf, cfg = _setup()
+    ds = build_screen_dataset(vol, tf, cfg, num_cameras=4, width=16,
+                              height=16)
+    # sigmoid output: 'density:direct' clamps to [0,1] in screen mode and
+    # an untrained net can saturate the clamp (zero gradient everywhere)
+    net = SceneRepresentationNetwork.make(
+        layers="16:16", activation="SnakeAlt:1", num_fourier=4,
+        output_mode="density", seed=11)
+    loss = LossNetScreen(l1=1.0, l2=1.0)
+    opt = make_optimizer("Adam", lr=5e-3, lr_step=1000, lr_gamma=0.5)
+    net2, hist = train_screen(net, ds, tf, cfg, loss, opt, epochs=12,
+                              cameras_per_batch=2)
+    assert hist[-1] < hist[0]
+    assert hist[-1] < 0.8 * hist[0], hist
+
+
+def test_screen_loss_multiply_alpha(rng):
+    loss = LossNetScreen(l1=1.0, multiply_alpha=True)
+    pred = jnp.asarray(rng.random((1, 4, 8, 8)), jnp.float32)
+    ref = jnp.asarray(rng.random((1, 4, 8, 8)), jnp.float32)
+    total, vals = loss(pred, ref, return_individual=True)
+    assert np.isfinite(float(total))
+    # where reference alpha is zero, rgb differences are ignored
+    ref0 = ref.at[:, 3].set(0.0)
+    pred_a = pred.at[:, :3].set(0.0)
+    pred_b = pred.at[:, :3].set(1.0)
+    la = float(loss(pred_a, ref0))
+    lb = float(loss(pred_b, ref0))
+    np.testing.assert_allclose(la, lb, atol=1e-6)
