@@ -1,0 +1,104 @@
+"""Timing + quality evaluation of SRN rendering modes.
+
+Rebuild of the reference's headline evaluation harness
+(reference: applications/volnet/eval_VolumetricFeatures.py:147-200):
+render N cameras at a fixed resolution/stepsize in every evaluation mode,
+discard the first frame as warm-up, report frame-time mean±std, and score
+SSIM of the network render against the reference-volume render.
+
+Usage:
+  python -m fvsrn_tpu.eval.eval_volumetric_features
+      [--width 512] [--stepsize 1/512] [--cameras 4] [--train-epochs 40]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--stepsize", type=float, default=1 / 256)
+    p.add_argument("--cameras", type=int, default=4)
+    p.add_argument("--train-epochs", type=int, default=40)
+    p.add_argument("--equation", default="MARSCHNER_LOBB")
+    p.add_argument("--modes", nargs="+",
+                   default=["FUSED", "PLAIN32"])
+    p.add_argument("--checkpoint", default=None,
+                   help="load a trained run instead of quick-fitting")
+    args = p.parse_args(argv)
+
+    import fvsrn_tpu as fv
+    from fvsrn_tpu.inference import LoadedModel
+    from fvsrn_tpu.models.srn import SceneRepresentationNetwork
+    from fvsrn_tpu.raytracer.dvr import RayEvaluationSteppingDvr
+    from fvsrn_tpu.train.losses import LossNetWorld, ssim
+    from fvsrn_tpu.train.optimizer import make_optimizer
+    from fvsrn_tpu.train.world import build_world_dataset, \
+        train_world_epochs
+
+    volume = fv.VolumeInterpolationImplicit.make(args.equation)
+    tf = fv.TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.1, 0.1, 0.8], [0.9, 0.4, 0.1], [1.0, 1.0, 0.6]],
+        opacity=[0.0, 10.0, 30.0], positions=[0.0, 0.5, 1.0])
+    config = RayEvaluationSteppingDvr.make(stepsize=args.stepsize)
+
+    if args.checkpoint:
+        model = LoadedModel.from_checkpoint(args.checkpoint, tf=tf)
+        model.reference_volume = volume
+        model.config = config
+        net = model.network
+    else:
+        rng = np.random.default_rng(0)
+        latent = fv.LatentSpace(static_grid=(
+            rng.standard_normal((16, 32, 32, 32)) * 0.01)
+            .astype(np.float32))
+        net = SceneRepresentationNetwork.make(
+            layers="32:32:32", activation="SnakeAlt:2", num_fourier=14,
+            output_mode="density:direct", latent=latent, seed=1)
+        ds = build_world_dataset(volume, 65536, sampler="halton")
+        loss = LossNetWorld(mode="density", l1=1.0)
+        opt = make_optimizer("Adam", lr=5e-3, lr_step=1000, lr_gamma=0.5)
+        net, hist = train_world_epochs(
+            net, ds, loss, opt, batch_size=8192,
+            epochs=args.train_epochs, scan_epoch=False)
+        print(f"quick fit: L1 {hist[0]:.4f} -> {hist[-1]:.4f}",
+              file=sys.stderr)
+        model = LoadedModel(net, tf, config=config,
+                            reference_volume=volume)
+
+    cameras = LoadedModel.rotation_cameras(args.cameras, distance=1.7,
+                                           pitch=0.35)
+    results = {}
+    ref_img = np.asarray(model.render_reference(
+        cameras[0], args.width, args.height))
+    for mode in args.modes:
+        mean_ms, std_ms, _ = model.time_rendering(
+            cameras, width=args.width, height=args.height, mode=mode)
+        net_img = np.asarray(model.render_network(
+            cameras[0], args.width, args.height, mode))
+        s = float(ssim(
+            jnp.moveaxis(jnp.asarray(net_img)[None], -1, 1),
+            jnp.moveaxis(jnp.asarray(ref_img)[None], -1, 1)))
+        mrays = args.width * args.height / (mean_ms / 1000) / 1e6
+        results[mode] = {
+            "frame_ms_mean": round(mean_ms, 3),
+            "frame_ms_std": round(std_ms, 3),
+            "mrays_per_s": round(mrays, 3),
+            "ssim_vs_reference": round(s, 4),
+        }
+        print(f"{mode}: {mean_ms:.1f}±{std_ms:.1f} ms "
+              f"({mrays:.2f} Mrays/s), SSIM {s:.4f}", file=sys.stderr)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,6 +23,7 @@ from .. import camera as camera_mod
 from ..utils.pytree import static_field, struct
 from .dvr import RayEvaluationOutput, max_steps_bound, trace_dvr
 from .iso import trace_iso
+from .montecarlo import trace_mc
 
 
 @struct
@@ -39,6 +40,7 @@ class ImageEvaluatorSimple:
     tf: Any
     ray_config: Any
     brdf: Any = None
+    phase: Any = None  # phase function for ray_mode='mc'
     samples: int = static_field(default=1)  # supersamples per pixel
     ray_mode: str = static_field(default="dvr")
 
@@ -67,7 +69,7 @@ def render_image(ev: ImageEvaluatorSimple, width: int, height: int, *,
     rasterization pre-pass; rays terminate at its depth where alpha > 0.
     """
     cam = ev.camera
-    if max_steps is None:
+    if max_steps is None and ev.ray_mode != "mc":
         max_steps = max_steps_bound(ev.volume.box_size, ev.ray_config.stepsize)
 
     batch = max(_batch_of(cam), _batch_of(ev.volume), _batch_of(ev.tf))
@@ -101,6 +103,14 @@ def render_image(ev: ImageEvaluatorSimple, width: int, height: int, *,
                              b=b)
         elif ev.ray_mode == "iso":
             return trace_iso(rs, rd, ev.volume, ev.ray_config, max_steps, b=b)
+        elif ev.ray_mode == "mc":
+            # path tracing needs a sampler key (reference:
+            # IMAGE_EVALUATOR__REQUIRES_SAMPLER,
+            # renderer_image_evaluator_simple.cuh:46-47)
+            k = key if key is not None else jax.random.PRNGKey(42)
+            k = jax.random.fold_in(k, b)
+            return trace_mc(k, rs, rd, ev.volume, ev.tf, ev.phase,
+                            ev.ray_config, b=b)
         raise ValueError(f"unknown ray mode {ev.ray_mode}")
 
     outs = []

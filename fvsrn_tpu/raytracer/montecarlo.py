@@ -26,7 +26,7 @@ import numpy as np
 from jax import Array
 
 from ..utils.pytree import static_field, struct
-from ..utils.vecmath import dot, intersect_aabb, normalize
+from ..utils.vecmath import dot, intersect_aabb, normalize, safe_normalize
 from .dvr import RayEvaluationOutput
 
 
@@ -199,5 +199,5 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
 
     return RayEvaluationOutput(
         color=jnp.concatenate([emission, out_alpha], axis=-1),
-        normal=normalize(out_normal + 1e-20),
+        normal=safe_normalize(out_normal),
         depth=out_depth)
