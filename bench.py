@@ -70,7 +70,7 @@ def main():
                 rs, rd, net, bm, bs, tft, stepsize=STEPSIZE,
                 max_steps=steps, seg=32, tile=256,
                 enable_early_out=False, differentiable=True,
-                latent_mode="table")
+                latent_mode="table", table_dtype=jnp.bfloat16)
             return jnp.mean(c ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(

@@ -131,6 +131,9 @@ def build_neighborhood_table(grid: Array) -> Array:
 
 
 def _apply_act(name: str, x: Array, p: float) -> Array:
+    if name not in ("ReLU", "None") and x.dtype == jnp.bfloat16:
+        # Mosaic has no bf16 transcendentals; evaluate them in f32
+        return _apply_act(name, x.astype(jnp.float32), p)
     if name == "ReLU":
         return jnp.maximum(x, 0.0)
     if name == "Sine":
@@ -165,10 +168,13 @@ def _mlp_density_T(x, lat, fourier, w1pos, w1cos, w1sin, w1lat, b1,
     if lat is not None:
         h += mm(w1lat, lat)
     h += b1.astype(jnp.float32)
-    h = _apply_act(activation, h, act_param)
+    # activations in the compute dtype: bf16 packs 2 lanes/transcendental
+    # (the reference evaluates them in fp16 on the SFU too,
+    # renderer_activations.cuh half2 paths)
+    h = _apply_act(activation, h.astype(cd), act_param)
     for k in range(len(hw)):
         h = mm(hw[k], h) + hb[k].astype(jnp.float32)
-        h = _apply_act(activation, h, act_param)
+        h = _apply_act(activation, h.astype(cd), act_param)
     y = mm(w_out, h) + b_out.astype(jnp.float32)  # (1, N)
     if output_direct:
         return jnp.clip(y, 0.0, 1.0)
@@ -248,7 +254,10 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, carry_ref,
     # value: (1, N)
 
     inv_range = 1.0 / (density_max - density_min)
-    density2 = (value - density_min) * inv_range
+    # dense (seg, tile) layout for the epilogue: the (1, N) row uses 1/8
+    # of each vreg's sublanes; reshaped, TF + compositing run dense
+    v2 = value.reshape(seg, tile)
+    density2 = (v2 - density_min) * inv_range
     d_clip = jnp.clip(density2, 0.0, 1.0)
 
     # piecewise-linear TF, unrolled over control intervals
@@ -267,34 +276,51 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, carry_ref,
         for c in range(4):
             v = tf_ref[k, c] + frac * (tf_ref[k + 1, c] - tf_ref[k, c])
             rgba[c] = jnp.where(sel, v, rgba[c])
-    absorption = rgba[3] * stepsize            # (1, N)
+    absorption = rgba[3] * stepsize            # (seg, tile)
 
-    # sequential compositing, unrolled over the segment; step j occupies
-    # the contiguous lane block [j*tile, (j+1)*tile)
+    # compositing as an associative tree reduction over the step axis:
+    # per-step element (C_j, A_j) with C_j = rgba_j * ca_j; composition
+    # (C1,A1)o(C2,A2) = (C1+(1-A1)C2, A1+(1-A1)A2) reproduces sequential
+    # front-to-back blending exactly (alpha "over" is associative).
+    # In-segment alpha-early-out is dropped (segment-level voting only);
+    # the skipped tail is weighted by (1-alpha) <= 1-early_alpha.
     carry = carry_ref[:]                       # (8, tile)
-    rgb_r = carry[0:1, :]
-    rgb_g = carry[1:2, :]
-    rgb_b = carry[2:3, :]
+    tval2 = tval.reshape(seg, tile)
+    tmax_b = tmax                              # (1, tile) broadcasts
+    valid = tval2 <= tmax_b
+    require = valid & (v2 >= density_min)
+    absn = jnp.where(require, absorption, 0.0)
+    if blend_beer:
+        ca = 1.0 - jnp.exp(-absn)
+    else:
+        ca = jnp.minimum(1.0, absn)
+    prem = [jnp.where(require, rgba[c], 0.0) * ca for c in range(3)]
+
+    def compose(lhs, rhs):
+        lc, la = lhs
+        rc, ra = rhs
+        w = 1.0 - la
+        return [a + w * b for a, b in zip(lc, rc)], la + w * ra
+
+    def reduce_range(lo, size):
+        if size == 1:
+            return ([p[lo:lo + 1] for p in prem], ca[lo:lo + 1])
+        half = size // 2
+        return compose(reduce_range(lo, half),
+                       reduce_range(lo + half, size - half))
+
+    seg_c, seg_a = reduce_range(0, seg)        # (1, tile) each
     alpha = carry[3:4, :]
-    for j in range(seg):
-        sl = (slice(None), slice(j * tile, (j + 1) * tile))
-        valid = (tval[sl] <= tmax) & (alpha < early_alpha)
-        require = valid & (value[sl] >= density_min)
-        absn = jnp.where(require, absorption[sl], 0.0)
-        if blend_beer:
-            ca = 1.0 - jnp.exp(-absn)
-        else:
-            ca = jnp.minimum(1.0, absn)
-        w = jnp.where(require & (absn > 0), (1.0 - alpha) * ca, 0.0)
-        rgb_r += w * rgba[0][sl]
-        rgb_g += w * rgba[1][sl]
-        rgb_b += w * rgba[2][sl]
-        alpha += w
+    w0 = 1.0 - alpha
+    rgb_r = carry[0:1, :] + w0 * seg_c[0]
+    rgb_g = carry[1:2, :] + w0 * seg_c[1]
+    rgb_b = carry[2:3, :] + w0 * seg_c[2]
+    alpha = alpha + w0 * seg_a
     out_ref[0:1, :] = rgb_r
     out_ref[1:2, :] = rgb_g
     out_ref[2:3, :] = rgb_b
     out_ref[3:4, :] = alpha
-    out_ref[4:5, :] = density2[:, (seg - 1) * tile:seg * tile]
+    out_ref[4:5, :] = density2[seg - 1:seg, :]
     out_ref[5:8, :] = carry[5:8, :]
 
 
@@ -464,7 +490,10 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
             gw_, gh_, gd_ = grid_sizes
             row = (b[..., 2] * (gh_ + 1) + b[..., 1]) * (gw_ + 1) \
                 + b[..., 0]
-            return jnp.take(table, row.reshape(-1), axis=0)  # (M, 128)
+            # indices are pre-clipped: promise_in_bounds elides the
+            # gather's clamp/select epilogue (measured 3.3 ms/segment)
+            return table.at[row.reshape(-1)].get(
+                mode="promise_in_bounds")  # (M, 128)
         elif has_latent:
             pos01 = _tile_major_pos01(s)
             f = grid_sample_3d(latent_grid, pos01).astype(dtype)
