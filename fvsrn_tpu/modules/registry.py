@@ -205,10 +205,22 @@ def load_from_json(path_or_dict, volume_override=None) -> SceneConfig:
 
     ray_evaluators = {}
     rj = j.get("RayEvaluation", {})
+    # object-space stepsizes are voxels; world = objspace / max resolution
+    # (reference: ray_evaluation_stepping.h getStepsizeWorld)
+    def _world_step(d, default=1 / 256):
+        s = d.get("stepsize", default)
+        if d.get("stepsizeIsObjectSpace", False):
+            res = 256
+            for v in volumes.values():
+                if hasattr(v, "resolution"):
+                    res = max(v.resolution)
+            s = s / res if s > 1 else s  # voxel-count stepsizes only
+        return s
+
     if "DVR" in rj:
         d = rj["DVR"]
         ray_evaluators["DVR"] = RayEvaluationSteppingDvr.make(
-            stepsize=d.get("stepsize", 1 / 256),
+            stepsize=_world_step(d),
             density_min=d.get("minDensity", 0.0),
             density_max=d.get("maxDensity", 1.0),
             enable_early_out=d.get("earlyOut", True),

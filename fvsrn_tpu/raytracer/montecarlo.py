@@ -139,6 +139,24 @@ def sample_light_position(key: Array, config: RayEvaluationMonteCarlo,
     return normalize(g) * config.light_radius + config.light_position
 
 
+def eval_background(ray_start: Array, ray_dir: Array,
+                    config: RayEvaluationMonteCarlo):
+    """Ray/light-sphere intersection for escaped rays
+    (reference: cuh:182-203 ``evalBackground``): rays hitting the
+    spherical area light receive its intensity."""
+    center = jnp.asarray(config.light_position)
+    radius = jnp.asarray(config.light_radius)
+    oc = ray_start - center
+    a = jnp.sum(ray_dir * ray_dir, axis=-1, keepdims=True)
+    b = 2.0 * jnp.sum(ray_dir * oc, axis=-1, keepdims=True)
+    c = jnp.sum(oc * oc, axis=-1, keepdims=True) - radius * radius
+    disc = b * b - 4 * a * c
+    is_light = disc > 0
+    i = jnp.where(is_light, config.light_intensity, 0.0)
+    alpha = is_light.astype(ray_start.dtype)
+    return jnp.concatenate([i, i, i, alpha], axis=-1)
+
+
 def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
              tf: Any, phase: Any, config: RayEvaluationMonteCarlo,
              b: int = 0) -> RayEvaluationOutput:

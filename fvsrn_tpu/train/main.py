@@ -72,6 +72,9 @@ def init_parser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("Output")
     g.add_argument("--save_frequency", type=int, default=10)
+    g.add_argument("--tensorboard", default=None,
+                   help="TensorBoard log dir (reference: train_volnet.py "
+                        "SummaryWriter)")
     g.add_argument("--stepsize", type=float, default=1 / 128)
     g.add_argument("--scan_epoch", action="store_true",
                    help="jit the whole epoch as one scan (fast on CPU "
@@ -141,11 +144,21 @@ def run(opt: dict) -> dict:
 
     t_start = time.time()
     history = []
+    writer = None
+    if opt.get("tensorboard"):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(opt["tensorboard"])
+        except ImportError:
+            print("tensorboard unavailable; continuing without",
+                  file=sys.stderr)
 
     def epoch_cb(e, network, loss_val):
         history.append(loss_val)
         ck.append_losses(len(history) - 1, {"total": loss_val},
                          time.time() - t_start)
+        if writer is not None:
+            writer.add_scalar("loss/total", loss_val, len(history) - 1)
         if (e + 1) % opt["save_frequency"] == 0:
             ck.save_weights(network, len(history) - 1)
 
@@ -202,6 +215,8 @@ def run(opt: dict) -> dict:
 
     ck.save_weights(net, max(len(history) - 1, 0))
     ck.close()
+    if writer is not None:
+        writer.close()
     return {"history": history, "network": net}
 
 

@@ -46,9 +46,24 @@ def build_screen_dataset(volume, tf, config: RayEvaluationSteppingDvr,
                          height: int = 64, distance: float = 1.6,
                          center=(0.0, 0.0, 0.0),
                          max_steps: Optional[int] = None,
-                         render_chunk: int = 8192) -> ScreenDataset:
+                         render_chunk: int = 8192,
+                         cache_path: Optional[str] = None) -> ScreenDataset:
     """Render GT images from fibonacci-sphere cameras
-    (reference: training_data.py:408-452)."""
+    (reference: training_data.py:408-452). ``cache_path``: optional hdf5
+    file caching the expensive ground-truth renders across runs
+    (reference: training_data.py:82-126 ``_MCCache``)."""
+    import os
+    if cache_path is not None and os.path.exists(cache_path):
+        import h5py
+        with h5py.File(cache_path, "r") as f:
+            if (f.attrs.get("num_cameras") == num_cameras
+                    and f.attrs.get("width") == width
+                    and f.attrs.get("height") == height):
+                return ScreenDataset(
+                    ray_start=jnp.asarray(f["ray_start"]),
+                    ray_dir=jnp.asarray(f["ray_dir"]),
+                    targets=jnp.asarray(f["targets"]),
+                    width=width, height=height)
     cams = fibonacci_sphere_cameras(num_cameras, center=center,
                                     distance=distance)
     start, direction = generate_rays(cams, width, height)
@@ -68,9 +83,19 @@ def build_screen_dataset(volume, tf, config: RayEvaluationSteppingDvr,
                        direction[c, i:i + render_chunk])
                 for i in range(0, start.shape[1], render_chunk)]
         targets.append(jnp.concatenate(outs, axis=0))
-    return ScreenDataset(ray_start=start, ray_dir=direction,
-                         targets=jnp.stack(targets), width=width,
-                         height=height)
+    ds = ScreenDataset(ray_start=start, ray_dir=direction,
+                       targets=jnp.stack(targets), width=width,
+                       height=height)
+    if cache_path is not None:
+        import h5py
+        with h5py.File(cache_path, "w") as f:
+            f.attrs["num_cameras"] = num_cameras
+            f.attrs["width"] = width
+            f.attrs["height"] = height
+            f.create_dataset("ray_start", data=np.asarray(ds.ray_start))
+            f.create_dataset("ray_dir", data=np.asarray(ds.ray_dir))
+            f.create_dataset("targets", data=np.asarray(ds.targets))
+    return ds
 
 
 def evaluate_screen(network, batch_rays_start, batch_rays_dir,

@@ -133,8 +133,8 @@ class TransferFunctionTexture:
     transfer_function.h:283-286).
     """
     tensor: Array
-    preintegrated: Optional[Array] = None  # (R2, 4) cumulative table
-    preintegration_mode: int = static_field(default=0)  # 0=off, 1=1D
+    preintegrated: Optional[Array] = None  # (R2,4) cumulative | (R2,R2,4)
+    preintegration_mode: int = static_field(default=0)  # 0=off,1=1D,2=2D
 
     @property
     def batch(self) -> int:
@@ -166,6 +166,33 @@ class TransferFunctionTexture:
         cum = jnp.concatenate([jnp.zeros((1, 4), cum.dtype), cum], axis=0)
         return self.replace(preintegrated=cum, preintegration_mode=1)
 
+    def with_preintegration_2d(self, resolution: int = 128,
+                               stepsize: float = 1.0 / 256,
+                               quadrature_steps: int = 32):
+        """Full 2D preintegration table over (front, back) density pairs
+        (reference: detail::Compute2DPreintegrationTable,
+        transfer_function.h:283-286 + renderer_tf_texture.cuh mode 2):
+        transmittance-weighted emission along a linear density segment of
+        length ``stepsize``, stored premultiplied."""
+        tf = self._params(0)
+        s = (jnp.arange(resolution, dtype=jnp.float32) + 0.5) / resolution
+        sf = s[:, None, None]  # front
+        sb = s[None, :, None]  # back
+        k = (jnp.arange(quadrature_steps, dtype=jnp.float32) + 0.5) \
+            / quadrature_steps
+        dens = sf + (sb - sf) * k[None, None, :]  # (R, R, K)
+        rgba = self._lookup(tf, dens)             # (R, R, K, 4)
+        tau = rgba[..., 3] * (stepsize / quadrature_steps)
+        a_k = 1.0 - jnp.exp(-tau)                 # (R, R, K)
+        trans = jnp.cumprod(1.0 - a_k, axis=-1)
+        trans_before = jnp.concatenate(
+            [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+        color = jnp.sum(rgba[..., :3] * (trans_before * a_k)[..., None],
+                        axis=-2)                  # premultiplied rgb
+        alpha = 1.0 - trans[..., -1]
+        table = jnp.concatenate([color, alpha[..., None]], axis=-1)
+        return self.replace(preintegrated=table, preintegration_mode=2)
+
     def eval_normalized(self, density: Array, normal=None,
                         previous_density=None, stepsize=1.0, b: int = 0):
         tf = self._params(b)
@@ -174,6 +201,20 @@ class TransferFunctionTexture:
         plain = _scale_absorption(plain, stepsize)
         if self.preintegration_mode == 0 or previous_density is None:
             return plain
+        if self.preintegration_mode == 2:
+            # 2D table lookup (reference: renderer_tf_texture.cuh:86-96):
+            # rgba = tex2D(preintegrated, prev, d), premultiplication
+            # removed when alpha > 1e-5
+            prev = jnp.where(previous_density < 0, d, previous_density)
+            r = self.preintegrated.shape[0]
+            i = jnp.clip((jnp.clip(prev, 0, 1) * r).astype(jnp.int32),
+                         0, r - 1)
+            j = jnp.clip((d * r).astype(jnp.int32), 0, r - 1)
+            rgba = self.preintegrated[i, j]
+            w = rgba[..., 3]
+            inv = jnp.where(w > 1e-5, 1.0 / jnp.maximum(w, 1e-5), 1.0)
+            return jnp.concatenate(
+                [rgba[..., :3] * inv[..., None], w[..., None]], axis=-1)
         # 1D preintegration (reference: renderer_tf_texture.cuh:62-84)
         prev = jnp.where(previous_density < 0, d, previous_density)
         table = self.preintegrated

@@ -101,3 +101,35 @@ def test_graft_entry_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_fused_render_matches_single(rng):
+    """Ray-sharded FUSED kernel (interpret mode) equals the single-device
+    fused render -- the sharding story for the perf path."""
+    from fvsrn_tpu.ops.fused_dvr import fused_trace_dvr
+    from fvsrn_tpu.models.latent import LatentSpace
+    mesh = make_mesh(8)
+    latent = LatentSpace(static_grid=jnp.asarray(
+        (rng.standard_normal((8, 8, 8, 8)) * 0.2).astype(np.float32)))
+    net = SceneRepresentationNetwork.make(
+        layers="16:16", activation="SnakeAlt:1", num_fourier=4,
+        output_mode="density:direct", latent=latent, seed=9)
+    from fvsrn_tpu.transfer import TransferFunctionPiecewiseLinear
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[1.0, 0.3, 0.1], [0.3, 1.0, 0.5]], opacity=[0.0, 20.0],
+        positions=[0.0, 1.0])
+    cam = CameraOnASphere.make(pitch=0.2, yaw=0.9, distance=1.6)
+    start, direction = generate_rays(cam, 32, 16)
+    rs = jnp.reshape(start, (-1, 3))
+    rd = jnp.reshape(direction, (-1, 3))
+
+    def render_rays(rs, rd, net, tft):
+        return fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
+            stepsize=1 / 32, max_steps=56, seg=8, tile=32,
+            enable_early_out=False, interpret=True)
+
+    ref = np.asarray(render_rays(rs, rd, net, tf.tensor))
+    sharded = make_dp_render(mesh, render_rays)
+    got = np.asarray(sharded(rs, rd, net, tf.tensor))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -99,3 +99,34 @@ def test_preintegration_consistency():
     # tolerance bounded by the cumulative table's 1/256 discretization
     np.testing.assert_allclose(got[:3], [0.2, 0.4, 0.6], rtol=1e-2)
     np.testing.assert_allclose(got[3], 1 - np.exp(-0.8 * 0.01), rtol=1e-2)
+
+
+def test_preintegration_2d():
+    """The 2D table's segment integral matches brute-force fine marching
+    through the same TF (reference: Compute2DPreintegrationTable +
+    renderer_tf_texture.cuh mode 2)."""
+    rng = np.random.default_rng(5)
+    table = rng.random((16, 4)).astype(np.float32)
+    table[:, 3] *= 20
+    stepsize = 1 / 64
+    tf0 = transfer.TransferFunctionTexture(tensor=jnp.asarray(table))
+    tf2 = tf0.with_preintegration_2d(resolution=256, stepsize=stepsize,
+                                     quadrature_steps=64)
+    prev, cur = 0.23, 0.71
+    got = np.asarray(tf2.eval_normalized(
+        jnp.asarray([cur]), previous_density=jnp.asarray([prev]),
+        stepsize=stepsize))[0]
+    # brute force: march the segment in 512 sub-steps with plain blending
+    k = (np.arange(512) + 0.5) / 512
+    dens = prev + (cur - prev) * k
+    rgba = np.asarray(tf0.eval_normalized(jnp.asarray(dens, jnp.float32)))
+    tau = rgba[:, 3] * stepsize / 512
+    a_k = 1 - np.exp(-tau)
+    T = 1.0
+    C = np.zeros(3)
+    for c, a in zip(rgba[:, :3], a_k):
+        C += T * c * a
+        T *= 1 - a
+    A = 1 - T
+    np.testing.assert_allclose(got[3], A, atol=2e-3)
+    np.testing.assert_allclose(got[:3] * got[3], C, atol=2e-3)
