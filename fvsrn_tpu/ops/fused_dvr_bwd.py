@@ -34,7 +34,8 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_dvr import FusedWeights, _apply_act, _weight_list as weights_list
+from .fused_dvr import (FusedWeights, _apply_act, _fast_sin, _fast_sincos,
+                        _weight_list as weights_list)
 
 
 def _act_deriv(name: str, x: Array, p: float) -> Array:
@@ -43,16 +44,16 @@ def _act_deriv(name: str, x: Array, p: float) -> Array:
     if name == "ReLU":
         return (x > 0).astype(x.dtype)
     if name == "Sine":
-        return p * jnp.cos(p * x)
+        return p * _fast_sincos(p * x)[1]
     if name == "Sigmoid":
         s = jax.nn.sigmoid(x)
         return s * (1 - s)
     if name == "Softplus":
         return jax.nn.sigmoid(x)
     if name == "Snake":
-        return 1.0 + jnp.sin(2 * p * x)
+        return 1.0 + _fast_sin(2 * p * x)
     if name == "SnakeAlt":
-        return (1.0 + 2 * p * jnp.sin(2 * p * x)) / (2 * p)
+        return (1.0 + 2 * p * _fast_sin(2 * p * x)) / (2 * p)
     if name == "None":
         return jnp.ones_like(x)
     raise ValueError(name)
@@ -143,8 +144,7 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, carry_ref, dcarry_ref,
             lat = lat_ref[0]
 
     fr = mm(fourier_ref[:], x)                 # (F, N)
-    cosf = jnp.cos(fr)
-    sinf = jnp.sin(fr)
+    sinf, cosf = _fast_sincos(fr)
     pre1 = mm(w1pos_ref[:], x) + mm(w1cos_ref[:], cosf) \
         + mm(w1sin_ref[:], sinf)
     if lat is not None:
