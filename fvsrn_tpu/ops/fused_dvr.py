@@ -401,6 +401,12 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     ``differentiable=True`` uses a fixed-count segment scan (reverse-AD via
     per-segment rematerialization); the default runs a while_loop that
     stops once every ray saturated or left the box.
+
+    The differentiable latent-grid gradient uses in-kernel run compaction
+    when the per-segment voxel-crossing bound allows it; the bound assumes
+    ``ray_dir`` is normalized (||d|| <= 1, as produced by generate_rays).
+    Unnormalized directions may silently drop latent-gradient
+    contributions on the compacted path.
     """
     r_total = ray_start.shape[0]
     if r_total % tile != 0:
@@ -517,16 +523,19 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         pos = rs_tiles + rd_tiles * t[..., None]
         return (pos - box_min) / box_size
 
+    def _segment_rows(s):
+        # (n_tiles, seg, tile) int32 neighborhood-table row per sample
+        pos01 = _tile_major_pos01(s)
+        gsz = jnp.asarray(grid_sizes, dtype)
+        v = pos01 * gsz - 0.5
+        i0 = jnp.floor(v).astype(jnp.int32)
+        b = jnp.clip(i0 + 1, 0, jnp.asarray(grid_sizes, jnp.int32))
+        gw_, gh_, gd_ = grid_sizes
+        return (b[..., 2] * (gh_ + 1) + b[..., 1]) * (gw_ + 1) + b[..., 0]
+
     def _segment_latent(s):
         if use_table:
-            pos01 = _tile_major_pos01(s)
-            gsz = jnp.asarray(grid_sizes, dtype)
-            v = pos01 * gsz - 0.5
-            i0 = jnp.floor(v).astype(jnp.int32)
-            b = jnp.clip(i0 + 1, 0, jnp.asarray(grid_sizes, jnp.int32))
-            gw_, gh_, gd_ = grid_sizes
-            row = (b[..., 2] * (gh_ + 1) + b[..., 1]) * (gw_ + 1) \
-                + b[..., 0]
+            row = _segment_rows(s)
             # indices are pre-clipped: promise_in_bounds elides the
             # gather's clamp/select epilogue (measured 3.3 ms/segment)
             return table.at[row.reshape(-1)].get(
@@ -550,19 +559,59 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         lat_shape = ((n_tiles * n_samples, 128) if use_table
                      else (n_tiles, cl, n_samples))
         lat_dtype = table_dtype if use_table else dtype
+
+        # In-kernel run compaction of the latent-grid gradient scatter:
+        # consecutive march steps share a base voxel, and for a
+        # NORMALIZED direction the distinct-voxel count per ray per
+        # segment is <= 4 + floor(||K||_2) with
+        # K_i = seg*stepsize*res_i/box_i (per-axis crossings + phase).
+        # The backward kernel then reduces seg per-step rows to `slots`
+        # slot rows, shrinking the XLA scatter (measured: the scatter,
+        # not the sort order, dominates the backward -- see PERF.md).
+        compact_slots = 0
+        if use_table:
+            k_vec = [seg * float(stepsize) * grid_sizes[i] / bsize_t[i]
+                     for i in range(3)]
+            runs_max = 4 + int(np.floor(np.sqrt(sum(k * k
+                                                    for k in k_vec))))
+            slots = ((runs_max + 7) // 8) * 8
+            if slots * 2 <= seg:
+                compact_slots = slots
+
         seg_op = make_segment_op(
             kernel_fwd=kernel, grid_spec_fwd=grid_spec,
             r_total=r_total, n_tiles=n_tiles, n_samples=n_samples,
             seg=seg, tile=tile, cl=cl, use_table=use_table,
             has_latent=has_latent, n_hidden=n_hidden,
             kernel_kwargs=static_kwargs, lat_shape=lat_shape,
-            lat_dtype=lat_dtype, interpret=interpret)
+            lat_dtype=lat_dtype, interpret=interpret,
+            compact_slots=compact_slots,
+            table_shape=(None if table is None else table.shape),
+            table_dtype=table_dtype)
 
-        def body(carry, s):
-            lat = _segment_latent(s)
-            s_arr = jnp.reshape(s, (1, 1)).astype(jnp.float32)
-            return seg_op(s_arr, rays_packet, lat, carry, weights,
-                          tf_pad), None
+        if compact_slots:
+            # the gather itself is not differentiated: the custom-VJP op
+            # takes the table as an explicit input and hands back the
+            # compacted scatter as its cotangent
+            table_ng = jax.lax.stop_gradient(table)
+
+            def body(carry, s):
+                row = _segment_rows(s)
+                lat = table_ng.at[row.reshape(-1)].get(
+                    mode="promise_in_bounds")
+                # 3D (n_tiles, 1, N): last-2 block dims must equal the
+                # array dims for non-(8,128)-divisible blocks
+                rows_f = row.reshape(n_tiles, 1, n_samples).astype(
+                    jnp.float32)
+                s_arr = jnp.reshape(s, (1, 1)).astype(jnp.float32)
+                return seg_op(s_arr, rays_packet, lat, rows_f, table,
+                              carry, weights, tf_pad), None
+        else:
+            def body(carry, s):
+                lat = _segment_latent(s)
+                s_arr = jnp.reshape(s, (1, 1)).astype(jnp.float32)
+                return seg_op(s_arr, rays_packet, lat, carry, weights,
+                              tf_pad), None
         carry, _ = jax.lax.scan(
             jax.checkpoint(body), carry0,
             jnp.arange(n_seg, dtype=jnp.int32))

@@ -59,9 +59,7 @@ def _act_deriv(name: str, x: Array, p: float) -> Array:
     raise ValueError(name)
 
 
-def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, carry_ref, dcarry_ref,
-                        fourier_ref, w1pos_ref, w1cos_ref, w1sin_ref,
-                        w1lat_ref, b1_ref, *rest_refs,
+def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
                         n_hidden: int, activation: str, act_param: float,
                         output_direct: bool, has_latent: bool,
                         latent_table: bool, grid_sizes: tuple,
@@ -70,28 +68,47 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, carry_ref, dcarry_ref,
                         density_min: float, density_max: float,
                         stepsize: float, early_alpha: float,
                         box_min: tuple, box_size: tuple,
-                        compute_dtype):
+                        compute_dtype, compact_slots: int = 0):
     """Backward of one (ray-tile, segment) program.
 
     Inputs mirror the forward kernel plus ``dcarry`` (8, tile), the
-    cotangent of the output carry. Outputs (after the weight refs):
-    d_lat, d_carry_in, d_fourier*, d_w1pos, d_w1cos, d_w1sin, d_w1lat,
-    d_b1, d_hidden_w..., d_hidden_b..., d_wout, d_bout, d_tf.
+    cotangent of the output carry (and, with ``compact_slots``, the
+    per-sample table rows (1, N) f32). Outputs (after the weight refs):
+    d_lat (or d_slot + slot_rows when compacting), d_carry_in,
+    d_fourier, d_w1pos, d_w1cos, d_w1sin, d_w1lat, d_b1,
+    d_hidden_w..., d_hidden_b..., d_wout, d_bout, d_tf.
     Weight/TF gradients accumulate across grid programs.
     """
+    if compact_slots:
+        rows_ref = refs[0]
+        refs = refs[1:]
+    else:
+        rows_ref = None
+    carry_ref, dcarry_ref = refs[0], refs[1]
+    (fourier_ref, w1pos_ref, w1cos_ref, w1sin_ref,
+     w1lat_ref, b1_ref) = refs[2:8]
+    rest_refs = refs[8:]
     hw = rest_refs[:n_hidden]
     hb = rest_refs[n_hidden:2 * n_hidden]
     wout_ref = rest_refs[2 * n_hidden]
     bout_ref = rest_refs[2 * n_hidden + 1]
     tf_ref = rest_refs[2 * n_hidden + 2]
     outs = rest_refs[2 * n_hidden + 3:]
-    (dlat_ref, dcarry_in_ref, dfourier_ref, dw1pos_ref, dw1cos_ref,
-     dw1sin_ref, dw1lat_ref, db1_ref) = outs[:8]
-    dhw = outs[8:8 + n_hidden]
-    dhb = outs[8 + n_hidden:8 + 2 * n_hidden]
-    dwout_ref = outs[8 + 2 * n_hidden]
-    dbout_ref = outs[8 + 2 * n_hidden + 1]
-    dtf_ref = outs[8 + 2 * n_hidden + 2]
+    if compact_slots:
+        dslot_ref, rowsout_ref = outs[0], outs[1]
+        dlat_ref = None
+        outs = outs[2:]
+    else:
+        dslot_ref = rowsout_ref = None
+        dlat_ref = outs[0]
+        outs = outs[1:]
+    (dcarry_in_ref, dfourier_ref, dw1pos_ref, dw1cos_ref,
+     dw1sin_ref, dw1lat_ref, db1_ref) = outs[:7]
+    dhw = outs[7:7 + n_hidden]
+    dhb = outs[7 + n_hidden:7 + 2 * n_hidden]
+    dwout_ref = outs[7 + 2 * n_hidden]
+    dbout_ref = outs[7 + 2 * n_hidden + 1]
+    dtf_ref = outs[7 + 2 * n_hidden + 2]
 
     cd = compute_dtype
     f32 = jnp.float32
@@ -318,20 +335,66 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, carry_ref, dcarry_ref,
     if has_latent:
         dw1lat_ref[:] += mm_ct(dpre1, lat)
         d_lat = mm(w1lat_ref[:].T, dpre1)      # (128|CL, N)
-        if latent_table:
+        if latent_table and compact_slots:
+            # Run compaction: consecutive steps of a ray that share a
+            # base voxel are summed into one slot row, shrinking the
+            # XLA scatter-add by seg/compact_slots. Slot id = prefix
+            # count of row-change flags along the step axis (sample
+            # column = j*tile + r, so "previous step" = lane shift by
+            # tile). Samples beyond the slot budget (only possible for
+            # unnormalized directions) are dropped.
+            d_rows = d_lat * wrep                      # (128, N)
+            rows_f = rows_ref[0]                       # (1, N) f32
+            prev = jnp.concatenate(
+                [jnp.full((1, tile), -1.0, f32), rows_f[:, :-tile]],
+                axis=1)
+            bnd = (rows_f != prev).astype(jnp.int32)
+            ps = bnd
+            k = 1
+            while k < seg:                             # Hillis-Steele
+                sh = k * tile
+                ps = ps + jnp.concatenate(
+                    [jnp.zeros((1, sh), jnp.int32), ps[:, :-sh]],
+                    axis=1)
+                k *= 2
+            slot = ps - 1                              # (1, N) 0-based
+            cols = []
+            rids = []
+            for sI in range(compact_slots):
+                m = slot == sI
+                vm = jnp.where(m, d_rows, 0.0)
+                tot = jnp.zeros((d_rows.shape[0], tile), f32)
+                rid = jnp.full((1, tile), -1.0, f32)
+                for j in range(seg):
+                    sl = slice(j * tile, (j + 1) * tile)
+                    tot = tot + vm[:, sl]
+                    rid = jnp.maximum(
+                        rid, jnp.where(m[:, sl], rows_f[:, sl], -1.0))
+                cols.append(tot)
+                rids.append(rid)
+            dslot_ref[:] = jnp.concatenate(cols, axis=1).T.astype(
+                dslot_ref.dtype)                       # (slots*tile, 128)
+            rowsout_ref[0] = jnp.concatenate(rids, axis=1)
+        elif latent_table:
             dlat_ref[:] = (d_lat * wrep).T.astype(dlat_ref.dtype)
         else:
             dlat_ref[0] = d_lat
-    else:
+    elif not compact_slots:
         dlat_ref[:] = jnp.zeros_like(dlat_ref)
 
 
 def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
                     n_samples, seg, tile, cl, use_table, has_latent,
                     n_hidden, kernel_kwargs, lat_shape, lat_dtype,
-                    interpret):
-    """Build the custom-VJP segment op: (s, rays, lat, carry, weights,
-    tf_pad) -> carry_out, with the hand-written backward kernel."""
+                    interpret, compact_slots=0, table_shape=None,
+                    table_dtype=None):
+    """Build the custom-VJP segment op with the hand-written backward
+    kernel. Signature (s, rays, lat, carry, weights, tf_pad) ->
+    carry_out; with ``compact_slots`` > 0 it is (s, rays, lat, rows,
+    table, carry, weights, tf_pad) -> carry_out, where ``table`` is the
+    neighborhood table whose cotangent is produced by the compacted
+    slot-row scatter (the gather itself is stop-gradiented by the
+    caller)."""
     dtype = jnp.float32
 
     fwd_call = pl.pallas_call(
@@ -342,7 +405,133 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
     )
 
     kernel_bwd = functools.partial(_segment_bwd_kernel,
-                                   n_hidden=n_hidden, **kernel_kwargs)
+                                   n_hidden=n_hidden,
+                                   compact_slots=compact_slots,
+                                   **kernel_kwargs)
+
+    def _run_bwd(s_arr, rays, lat, rows, carry, d_out, wlist):
+        lat_spec = (pl.BlockSpec((n_samples, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM) if use_table
+                    else pl.BlockSpec((1, cl, n_samples),
+                                      lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        tile_spec = pl.BlockSpec((8, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            tile_spec,                               # rays
+            lat_spec,
+        ]
+        ins = [s_arr, rays, lat]
+        if compact_slots:
+            in_specs.append(pl.BlockSpec((1, 1, n_samples),
+                                         lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            ins.append(rows)
+        in_specs += [tile_spec, tile_spec]           # carry, dcarry
+        ins += [carry, d_out]
+        in_specs += [
+            pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for w in wlist
+        ]
+        ins += wlist
+        # outputs: d_lat (blocked per tile) -- or d_slot + slot rows
+        # when compacting -- then d_carry_in (blocked) and accumulated
+        # weight/tf grads (constant index maps)
+        if compact_slots:
+            m = compact_slots * tile
+            out_specs = [
+                pl.BlockSpec((m, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shapes = [
+                jax.ShapeDtypeStruct((n_tiles * m, 128), dtype),
+                jax.ShapeDtypeStruct((n_tiles, 1, m), dtype),
+            ]
+        else:
+            out_specs = [lat_spec]
+            out_shapes = [jax.ShapeDtypeStruct(lat_shape, lat_dtype)]
+        out_specs += [
+            pl.BlockSpec((8, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for w in wlist[:-1]    # all weights except tf...
+        ] + [
+            pl.BlockSpec(wlist[-1].shape,
+                         (lambda i, nd=wlist[-1].ndim: (0,) * nd),
+                         memory_space=pltpu.SMEM)    # d_tf (scalar accum)
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((8, r_total), dtype),
+        ] + [jax.ShapeDtypeStruct(w.shape, dtype) for w in wlist]
+
+        bwd_call = pl.pallas_call(
+            kernel_bwd,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+        return bwd_call(*ins)
+
+    def _unpack_dw(dw):
+        # order matches weights_list: fourier, w1pos, w1cos, w1sin,
+        # w1lat, b1, hidden_w..., hidden_b..., w_out, b_out, tf
+        d_fourier, d_w1pos, d_w1cos, d_w1sin, d_w1lat, d_b1 = dw[:6]
+        k = 6
+        nh = n_hidden
+        d_hw = tuple(dw[k:k + nh]); k += nh
+        d_hb = tuple(dw[k:k + nh]); k += nh
+        d_wout, d_bout, d_tf = dw[k], dw[k + 1], dw[k + 2]
+        d_weights = FusedWeights(
+            fourier=d_fourier, w1_pos=d_w1pos, w1_cos=d_w1cos,
+            w1_sin=d_w1sin,
+            w1_lat=d_w1lat if has_latent else None,
+            b1=d_b1, hidden_w=d_hw, hidden_b=d_hb,
+            w_out=d_wout, b_out=d_bout)
+        return d_weights, d_tf
+
+    if compact_slots:
+        def segment(s_arr, rays, lat, rows, table, carry,
+                    weights: FusedWeights, tf_pad):
+            del rows, table   # only consumed by the backward
+            return fwd_call(s_arr, rays, lat, carry,
+                            *weights_list(weights, tf_pad))
+
+        segment = jax.custom_vjp(segment)
+
+        def segment_fwd(s_arr, rays, lat, rows, table, carry, weights,
+                        tf_pad):
+            out = fwd_call(s_arr, rays, lat, carry,
+                           *weights_list(weights, tf_pad))
+            return out, (s_arr, rays, lat, rows, carry, weights, tf_pad)
+
+        def segment_bwd(res, d_out):
+            s_arr, rays, lat, rows, carry, weights, tf_pad = res
+            wlist = weights_list(weights, tf_pad)
+            outs = _run_bwd(s_arr, rays, lat, rows, carry, d_out, wlist)
+            d_slot, slot_rows, d_carry = outs[0], outs[1], outs[2]
+            d_weights, d_tf = _unpack_dw(list(outs[3:]))
+            idx = slot_rows.reshape(-1).astype(jnp.int32)
+            # unused slots carry row -1 -> dropped as out-of-bounds
+            d_table = jnp.zeros((table_shape[0], 128), dtype).at[idx].add(
+                d_slot, mode="drop").astype(table_dtype)
+            return (jnp.zeros((1, 1), jnp.float32),
+                    jnp.zeros_like(rays), jnp.zeros_like(lat),
+                    jnp.zeros_like(rows), d_table, d_carry, d_weights,
+                    d_tf)
+
+        segment.defvjp(segment_fwd, segment_bwd)
+        return segment
 
     def segment(s_arr, rays, lat, carry, weights: FusedWeights,
                 tf_pad):
@@ -359,76 +548,9 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
     def segment_bwd(res, d_out):
         s_arr, rays, lat, carry, weights, tf_pad = res
         wlist = weights_list(weights, tf_pad)
-        n_w = len(wlist)
-
-        lat_spec = (pl.BlockSpec((n_samples, 128), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM) if use_table
-                    else pl.BlockSpec((1, cl, n_samples),
-                                      lambda i: (i, 0, 0),
-                                      memory_space=pltpu.VMEM))
-        in_specs = [
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            lat_spec,
-            pl.BlockSpec((8, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),   # carry
-            pl.BlockSpec((8, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),   # dcarry
-        ] + [
-            pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
-                         memory_space=pltpu.VMEM)
-            for w in wlist
-        ]
-        # outputs: d_lat (blocked per tile), d_carry_in (blocked),
-        # then accumulated weight/tf grads (constant index maps)
-        out_specs = [
-            lat_spec,
-            pl.BlockSpec((8, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
-                         memory_space=pltpu.VMEM)
-            for w in wlist[:-1]    # all weights except tf...
-        ] + [
-            pl.BlockSpec(wlist[-1].shape,
-                         (lambda i, nd=wlist[-1].ndim: (0,) * nd),
-                         memory_space=pltpu.SMEM)    # d_tf (scalar accum)
-        ]
-        out_shapes = [
-            jax.ShapeDtypeStruct(lat_shape, lat_dtype),
-            jax.ShapeDtypeStruct((8, r_total), dtype),
-        ] + [jax.ShapeDtypeStruct(w.shape, dtype) for w in wlist]
-
-        bwd_call = pl.pallas_call(
-            kernel_bwd,
-            grid=(n_tiles,),
-            in_specs=in_specs,
-            out_specs=tuple(out_specs),
-            out_shape=tuple(out_shapes),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )
-        outs = bwd_call(s_arr, rays, lat, carry, d_out, *wlist)
+        outs = _run_bwd(s_arr, rays, lat, None, carry, d_out, wlist)
         d_lat, d_carry = outs[0], outs[1]
-        dw = list(outs[2:])
-        # unpack back into FusedWeights + tf cotangents; order matches
-        # weights_list: fourier, w1pos, w1cos, w1sin, w1lat, b1,
-        # hidden_w..., hidden_b..., w_out, b_out, tf
-        d_fourier, d_w1pos, d_w1cos, d_w1sin, d_w1lat, d_b1 = dw[:6]
-        k = 6
-        nh = n_hidden
-        d_hw = tuple(dw[k:k + nh]); k += nh
-        d_hb = tuple(dw[k:k + nh]); k += nh
-        d_wout, d_bout, d_tf = dw[k], dw[k + 1], dw[k + 2]
-        d_weights = FusedWeights(
-            fourier=d_fourier, w1_pos=d_w1pos, w1_cos=d_w1cos,
-            w1_sin=d_w1sin,
-            w1_lat=d_w1lat if has_latent else None,
-            b1=d_b1, hidden_w=d_hw, hidden_b=d_hb,
-            w_out=d_wout, b_out=d_bout)
+        d_weights, d_tf = _unpack_dw(list(outs[2:]))
         return (jnp.zeros((1, 1), jnp.float32), jnp.zeros_like(rays),
                 d_lat.astype(lat_dtype), d_carry, d_weights, d_tf)
 
