@@ -33,7 +33,8 @@ def init_parser() -> argparse.ArgumentParser:
     g.add_argument("--layers", default="32:32:32")
     g.add_argument("--activation", default="SnakeAlt:2")
     g.add_argument("--outputmode", default="density:direct",
-                   choices=["density", "density:direct"])
+                   choices=["density", "density:direct", "rgbo",
+                            "rgbo:direct", "rgbo:exp"])
     g.add_argument("--fouriercount", type=int, default=14)
     g.add_argument("--fourierstd", type=float, default=1.0,
                    help="<=0 selects the NeRF block-identity matrix")
@@ -163,12 +164,18 @@ def run(opt: dict) -> dict:
             ck.save_weights(network, len(history) - 1)
 
     if opt["mode"] == "world":
-        loss = LossNetWorld(mode="density", l1=opt["l1"], l2=opt["l2"])
+        # rgbo nets train against TF-mapped colors, density nets against
+        # raw densities (reference: training_data.py:328-377 world modes)
+        is_rgbo = opt["outputmode"].startswith("rgbo")
+        loss = LossNetWorld(mode="rgbo" if is_rgbo else "density",
+                            l1=opt["l1"], l2=opt["l2"])
         key = jax.random.PRNGKey(opt["seed"])
 
         def build_ds(positions=None):
             return build_world_dataset(
                 volume, opt["samples"], sampler=opt["sampler"], key=key,
+                tf=(tf if is_rgbo else None),
+                stepsize=float(opt["stepsize"]),
                 positions=positions)
 
         ds = build_ds()

@@ -133,6 +133,9 @@ def train_world_epochs(network: SceneRepresentationNetwork,
     if key is None:
         key = jax.random.PRNGKey(0)
     n = dataset.positions.shape[0]
+    # a dataset smaller than one batch still trains (one full-data batch
+    # per epoch) instead of silently running zero steps
+    batch_size = min(batch_size, n)
     nbatch = n // batch_size
     opt_state = optimizer.init(network)
     step = make_train_step(loss, optimizer)
