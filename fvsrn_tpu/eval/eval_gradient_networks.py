@@ -5,8 +5,9 @@ reference volume's, per gradient mode).
 
 Trains one SRN on the scene, then scores the normals it produces via the
 exact AD adjoint and via finite differences against the reference
-volume's own FD normals (cosine similarity + L2), plus Kindlmann
-curvature error for grid scenes.
+volume's own FD normals (cosine similarity + L2). Curvature shading
+itself is exercised by the iso renderer (raytracer/iso.py,
+tests/test_dvr.py).
 
 Usage: python -m fvsrn_tpu.eval.eval_gradient_networks
        [--scene S] [--epochs N] [--samples K]
