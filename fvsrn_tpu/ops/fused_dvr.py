@@ -535,7 +535,14 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         seg=seg, tile=tile,
         density_min=float(density_min), density_max=float(density_max),
         stepsize=float(stepsize),
-        early_alpha=float(alpha_early_out) if enable_early_out else 2.0,
+        # differentiable mode has NO early-out semantics (fixed-count
+        # scan, no in-segment gating in the forward body), so the
+        # backward replay must not gate on alpha either -- otherwise the
+        # adjoint differentiates a different function than the forward
+        # computes for any ray that saturates mid-march (round-1 bug:
+        # fwd composited everything, bwd replay gated on early_alpha)
+        early_alpha=(float(alpha_early_out)
+                     if enable_early_out and not differentiable else 2.0),
         box_min=bmin_t, box_size=bsize_t,
         compute_dtype=compute_dtype,
     )

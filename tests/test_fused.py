@@ -162,6 +162,50 @@ def test_fused_backward_matches_autodiff_of_plain():
         np.asarray(g_p[0].input.fourier_matrix), atol=2e-5, rtol=1e-3)
 
 
+def test_fused_backward_with_early_out_flag():
+    """Gate for the round-1 fwd/bwd early-out mismatch: with the PUBLIC
+    DEFAULT flags (enable_early_out=True) and differentiable=True, the
+    adjoint must differentiate exactly the function the forward computes.
+    Differentiable mode has no early-out semantics (fixed-count scan, no
+    in-segment gating), so gradients must equal jax.grad of the plain
+    oracle traced without early-out, even on saturating rays."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 16  # large steps + opacity 30 -> rays saturate mid-march
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(2).random((rs.shape[0], 4)).astype(np.float32)
+
+    def loss_fused(net):
+        c = fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+            enable_early_out=True, alpha_early_out=0.9,
+            differentiable=True, interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net):
+        out = _plain(net, tf, rs, rd, stepsize, steps, False)
+        return jnp.mean((out - tgt) ** 2)
+
+    # saturation actually occurs (else the test gates nothing)
+    c = fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=True, alpha_early_out=0.9,
+        differentiable=True, interpret=True)
+    assert float(np.asarray(c)[:, 3].max()) > 0.9
+    np.testing.assert_allclose(float(loss_fused(net)),
+                               float(loss_plain(net)), rtol=1e-5)
+    g_f = jax.grad(loss_fused)(net)
+    g_p = jax.grad(loss_plain)(net)
+    np.testing.assert_allclose(
+        np.asarray(g_f.latent.static_grid),
+        np.asarray(g_p.latent.static_grid), atol=2e-5, rtol=1e-3)
+    for lf, lp in zip(g_f.layers, g_p.layers):
+        np.testing.assert_allclose(np.asarray(lf.weight),
+                                   np.asarray(lp.weight),
+                                   atol=2e-5, rtol=1e-3)
+
+
 def test_fused_backward_run_compaction():
     """The compacted latent-gradient path (in-kernel run compaction of
     the scatter rows, active when seg >= 2*slots) matches jax.grad of
