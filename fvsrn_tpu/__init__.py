@@ -13,6 +13,7 @@ multi-chip scaling over a ``jax.sharding.Mesh``.
 __version__ = "0.1.0"
 
 from . import blending, brdf, camera, transfer
+from .brdf import BRDFLambert
 from .camera import CameraOnASphere, generate_rays
 from .raytracer.dvr import RayEvaluationSteppingDvr, trace_dvr
 from .raytracer.evaluator import ImageEvaluatorSimple, render_image

@@ -59,45 +59,55 @@ from ..utils.vecmath import intersect_aabb
 class FusedWeights(NamedTuple):
     """Transposed-layout weights: every matrix maps column-samples,
     h_out = W @ h_in. First layer pre-split by input block."""
-    fourier: Array          # (F, 3): f = fourier @ x
+    fourier: Array          # (F, 3): f = fourier @ x [+ fourier_dir @ dir]
+    fourier_dir: Optional[Array]  # (F, 3) direction block of B, or None
     w1_pos: Array           # (H, 3)
+    w1_dir: Optional[Array]  # (H, 3) or None
     w1_cos: Array           # (H, F)
     w1_sin: Array           # (H, F)
     w1_lat: Optional[Array]  # (H, CL) or None
     b1: Array               # (H, 1)
     hidden_w: tuple         # tuple of (H, H)
     hidden_b: tuple         # tuple of (H, 1)
-    w_out: Array            # (1, H)
-    b_out: Array            # (1, 1)
+    w_out: Array            # (C_out, H); C_out = 1 (density) or 4 (rgbo)
+    b_out: Array            # (C_out, 1)
 
 
 def extract_weights(net: SceneRepresentationNetwork,
                     dtype=jnp.float32) -> FusedWeights:
-    """Split the SRN's first layer by input block (pos/cos/sin/latent),
+    """Split the SRN's first layer by input block (pos/dir/cos/sin/latent),
     the fused-kernel analogue of the reference's weight export
-    (reference: network.py:798-897 export_to_pyrenderer). Torch Linear
-    weights are already (out, in), which IS the transposed layout."""
-    assert not net.input.has_direction, "fused v1: no direction input"
-    assert net.input.fourier_matrix_time is None, "fused v1: no time fourier"
-    assert net.output_mode in ("density", "density:direct"), \
-        "fused v1: density networks only"
-    B = jnp.asarray(net.input.fourier_matrix, dtype)  # (F, 3)
+    (reference: network.py:798-897 export_to_pyrenderer; direction input
+    and rgbo output heads mirror renderer_volume_tensorcores.cuh:768-808,
+    1041-1161). Torch Linear weights are already (out, in), which IS the
+    transposed layout."""
+    assert net.input.fourier_matrix_time is None, \
+        "fused: no time fourier (use keyframed latent grids)"
+    assert not net.input.use_time_direct, "fused: no direct time input"
+    has_dir = net.input.has_direction
+    B = jnp.asarray(net.input.fourier_matrix, dtype)  # (F, 3|6)
     f = B.shape[0]
+    fourier_dir = None
+    if B.shape[1] == 6:
+        fourier_dir = B[:, 3:6]
+        B = B[:, 0:3]
     cl = net.latent.total_channels
     w1 = jnp.asarray(net.layers[0].weight, dtype)  # (H, Cin)
     b1 = jnp.asarray(net.layers[0].bias, dtype)[:, None]
+    base = 6 if has_dir else 3
     w1_pos = w1[:, 0:3]
-    w1_cos = w1[:, 3:3 + f]
-    w1_sin = w1[:, 3 + f:3 + 2 * f]
-    w1_lat = w1[:, 3 + 2 * f:] if cl > 0 else None
+    w1_dir = w1[:, 3:6] if has_dir else None
+    w1_cos = w1[:, base:base + f]
+    w1_sin = w1[:, base + f:base + 2 * f]
+    w1_lat = w1[:, base + 2 * f:] if cl > 0 else None
     hidden_w = tuple(jnp.asarray(l.weight, dtype)
                      for l in net.layers[1:-1])
     hidden_b = tuple(jnp.asarray(l.bias, dtype)[:, None]
                      for l in net.layers[1:-1])
-    w_out = jnp.asarray(net.layers[-1].weight, dtype)   # (1, H)
+    w_out = jnp.asarray(net.layers[-1].weight, dtype)   # (C_out, H)
     b_out = jnp.asarray(net.layers[-1].bias, dtype)[:, None]
-    return FusedWeights(B, w1_pos, w1_cos, w1_sin, w1_lat, b1,
-                        hidden_w, hidden_b, w_out, b_out)
+    return FusedWeights(B, fourier_dir, w1_pos, w1_dir, w1_cos, w1_sin,
+                        w1_lat, b1, hidden_w, hidden_b, w_out, b_out)
 
 
 def build_neighborhood_table(grid: Array) -> Array:
@@ -233,6 +243,63 @@ def select_subcube(window_rows: Array, offsets: Array) -> Array:
     return out
 
 
+def block_ray_permutation(width: int, height: int,
+                          block_w: int = 16, block_h: int = 16):
+    """Permutation regrouping row-major rays into (block_h x block_w)
+    pixel blocks, so each fused-kernel ray tile is spatially coherent
+    (the precondition for the sub-box latent path). Returns (perm, inv):
+    ``rays[perm]`` is block-ordered; ``out[inv]`` restores row-major.
+    """
+    assert width % block_w == 0 and height % block_h == 0
+    idx = np.arange(height * width).reshape(height, width)
+    perm = (idx.reshape(height // block_h, block_h,
+                        width // block_w, block_w)
+            .transpose(0, 2, 1, 3).reshape(-1))
+    inv = np.argsort(perm)
+    return perm, inv
+
+
+def certify_subbox(ray_start, ray_dir, grid_sizes, box_min, box_size, *,
+                   stepsize: float, max_steps: int, seg: int, tile: int,
+                   margin: int = 1):
+    """Measure the exact per-(ray-tile, segment) corner footprint of the
+    march and return per-axis sub-box sizes (szx, szy, szz) certified to
+    cover it (+``margin`` cells of safety for float divergence between
+    this numpy replay and the kernel's position math).
+
+    The TPU analog of the reference's occupancy calculator
+    (volume_interpolation_network.cpp:987-1040 computeMaxWarps): a
+    host-side pre-pass that sizes the kernel's on-chip working set.
+    Requires concrete (non-traced) rays.
+    """
+    rs = np.asarray(ray_start, np.float32)
+    rd = np.asarray(ray_dir, np.float32)
+    bmin = np.asarray(box_min, np.float32)
+    bsize = np.asarray(box_size, np.float32)
+    res = np.asarray(grid_sizes, np.int32)          # (x, y, z)
+    r_total = rs.shape[0]
+    n_tiles = r_total // tile
+    # numpy replay of intersect_aabb (utils/vecmath.py)
+    inv = 1.0 / np.where(rd == 0, 1e-12, rd)
+    t0 = (bmin - rs) * inv
+    t1 = (bmin + bsize - rs) * inv
+    tmin = np.maximum(np.minimum(t0, t1).max(axis=1), 0.0)
+    n_seg = (max_steps + seg - 1) // seg
+    sz = np.ones(3, np.int64)
+    for s in range(n_seg):
+        t = tmin[:, None] + (s * seg + np.arange(seg,
+                                                 dtype=np.float32))[None, :] \
+            * np.float32(stepsize)                  # (R, seg)
+        pos = rs[:, None, :] + rd[:, None, :] * t[:, :, None]
+        v = (pos - bmin) / bsize * res - 0.5
+        b = np.clip(np.floor(v).astype(np.int64) + 1, 0, res)
+        bt = b.reshape(n_tiles, tile, seg, 3)
+        ext = bt.max(axis=(1, 2)) - bt.min(axis=(1, 2)) + 1
+        sz = np.maximum(sz, ext.max(axis=0))
+    sz = np.minimum(sz + margin, res + 1)
+    return int(sz[0]), int(sz[1]), int(sz[2])
+
+
 def _apply_act(name: str, x: Array, p: float) -> Array:
     if name not in ("ReLU", "None") and x.dtype == jnp.bfloat16:
         # Mosaic has no bf16 transcendentals; evaluate them in f32
@@ -254,10 +321,59 @@ def _apply_act(name: str, x: Array, p: float) -> Array:
     raise ValueError(name)
 
 
-def _mlp_density_T(x, lat, fourier, w1pos, w1cos, w1sin, w1lat, b1,
-                   hw, hb, w_out, b_out,
-                   *, activation, act_param, output_direct, compute_dtype):
-    """Transposed MLP: x (3, N), lat (CL, N) -> density (1, N)."""
+def _act_deriv(name: str, x: Array, p: float) -> Array:
+    """d activation / d preactivation, f32 in/out (hand adjoints shared by
+    the backward kernel and the in-kernel normal sweep; reference:
+    renderer_activations.cuh adjoint paths)."""
+    if name == "ReLU":
+        return (x > 0).astype(x.dtype)
+    if name == "Sine":
+        return p * _fast_cos(p * x)
+    if name == "Sigmoid":
+        s = jax.nn.sigmoid(x)
+        return s * (1.0 - s)
+    if name == "Softplus":
+        return jax.nn.sigmoid(x)
+    if name == "Snake":
+        return 1.0 + _fast_sin(2.0 * p * x)
+    if name == "SnakeAlt":
+        return (1.0 + 2.0 * p * _fast_sin(2.0 * p * x)) / (2.0 * p)
+    if name == "None":
+        return jnp.ones_like(x)
+    raise ValueError(name)
+
+
+def _apply_output_T(mode: str, y: Array):
+    """Output parametrization on a transposed (C_out, N) head, matching
+    ``models.srn._apply_output`` in screen/render semantics
+    (reference: network.py:171-237). Returns (out, dvalue_dy) where
+    dvalue_dy is only meaningful for density modes (the normal sweep)."""
+    if mode == "density":
+        v = jax.nn.sigmoid(y)
+        return v, v * (1.0 - v)
+    if mode == "density:direct":
+        return jnp.clip(y, 0.0, 1.0), ((y > 0) & (y < 1)).astype(y.dtype)
+    rgb = jax.nn.sigmoid(y[0:3])
+    if mode == "rgbo":
+        o = jax.nn.softplus(y[3:4].astype(jnp.float32))
+    elif mode == "rgbo:exp":
+        o = jnp.exp(y[3:4].astype(jnp.float32))
+    elif mode == "rgbo:direct":
+        rgb = jnp.clip(y[0:3], 0.0, 1.0)
+        o = jnp.maximum(y[3:4], 0.0)
+    else:
+        raise ValueError(mode)
+    return jnp.concatenate([rgb, o], axis=0), None
+
+
+def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
+                   w1lat, b1, hw, hb, w_out, b_out,
+                   *, activation, act_param, output_mode, compute_dtype,
+                   want_pack: bool = False):
+    """Transposed MLP: x (3, N), dirs (3, N)|None, lat (CL, N)|None ->
+    (out (C_out, N), dvalue_dy|None, pack|None). ``pack`` holds the
+    intermediates (pres, sinf, cosf) for the in-kernel position-gradient
+    sweep (:func:`_mlp_position_grad_T`)."""
     cd = compute_dtype
 
     def mm(a, b):
@@ -265,52 +381,213 @@ def _mlp_density_T(x, lat, fourier, w1pos, w1cos, w1sin, w1lat, b1,
                        preferred_element_type=jnp.float32)
 
     f = mm(fourier, x)                       # (F, N)
+    if dirs is not None and fdir is not None:
+        f += mm(fdir, dirs)
     sinf, cosf = _fast_sincos(f.astype(jnp.float32))
     h = mm(w1pos, x)
+    if dirs is not None and w1dir is not None:
+        h += mm(w1dir, dirs)
     h += mm(w1cos, cosf.astype(cd))
     h += mm(w1sin, sinf.astype(cd))
     if lat is not None:
         h += mm(w1lat, lat)
     h += b1.astype(jnp.float32)
+    pres = [h]
     # activations in the compute dtype: bf16 packs 2 lanes/transcendental
     # (the reference evaluates them in fp16 on the SFU too,
     # renderer_activations.cuh half2 paths)
     h = _apply_act(activation, h.astype(cd), act_param)
     for k in range(len(hw)):
-        h = mm(hw[k], h) + hb[k].astype(jnp.float32)
-        h = _apply_act(activation, h.astype(cd), act_param)
-    y = mm(w_out, h) + b_out.astype(jnp.float32)  # (1, N)
-    if output_direct:
-        return jnp.clip(y, 0.0, 1.0)
-    return jax.nn.sigmoid(y)
+        pre = mm(hw[k], h) + hb[k].astype(jnp.float32)
+        pres.append(pre)
+        h = _apply_act(activation, pre.astype(cd), act_param)
+    y = mm(w_out, h) + b_out.astype(jnp.float32)  # (C_out, N)
+    out, dv_dy = _apply_output_T(output_mode, y)
+    pack = (pres, sinf, cosf) if want_pack else None
+    return out, dv_dy, pack
 
 
-def _segment_kernel(s_ref, rays_ref, lat_ref, carry_ref,
-                    fourier_ref, w1pos_ref, w1cos_ref, w1sin_ref,
-                    w1lat_ref, b1_ref, *rest_refs,
+def _mlp_position_grad_T(pack, dv_dy, x, rows_t, fourier, w1pos, w1cos,
+                         w1sin, w1lat, hw, w_out,
+                         *, activation, act_param, grid_sizes,
+                         has_latent_table, compute_dtype):
+    """In-kernel d(value)/d(pos01): the MXU analogue of the reference's
+    transposed-weight wmma adjoint normal
+    (renderer_volume_tensorcores.cuh:1202-1450) with ANALYTIC latent-grid
+    position gradients instead of central differences (:608-729) -- the
+    trilerp corner weights are piecewise-linear in the position fractions,
+    so their derivative is exact and costs three reweighted row sums.
+
+    Returns (3, N) gradient wrt the [0,1]^3 position. The caller divides
+    by box_size for the world-space gradient.
+    """
+    cd = compute_dtype
+    pres, sinf, cosf = pack
+
+    def mm(a, b):
+        return jnp.dot(a.astype(cd), b.astype(cd),
+                       preferred_element_type=jnp.float32)
+
+    dh = mm(w_out.T, dv_dy)                     # (H, N)
+    for k in reversed(range(len(hw))):
+        dpre = dh * _act_deriv(activation, pres[k + 1], act_param)
+        dh = mm(hw[k].T, dpre)
+    dpre1 = dh * _act_deriv(activation, pres[0], act_param)
+
+    dx = mm(w1pos.T, dpre1)                     # (3, N)
+    d_cos = mm(w1cos.T, dpre1)
+    d_sin = mm(w1sin.T, dpre1)
+    d_f = cosf * d_sin - sinf * d_cos
+    dx += mm(fourier.T, d_f)
+    if has_latent_table:
+        # lat = rows_t * wrep(fx,fy,fz); d wrep/d frac is wrep with the
+        # per-axis factor replaced by its +-1 sign; d frac/d pos01 = res
+        dlat = mm(w1lat.T, dpre1)               # (128, N)
+        g = dlat * rows_t
+        wrep, wgx, wgy, wgz = _corner_weight_pack(x, grid_sizes,
+                                                  with_grads=True)
+        del wrep
+        ones = jnp.ones((1, 128), jnp.float32)
+        dx += jnp.concatenate([
+            mm(ones, g * wgx) * float(grid_sizes[0]),
+            mm(ones, g * wgy) * float(grid_sizes[1]),
+            mm(ones, g * wgz) * float(grid_sizes[2]),
+        ], axis=0)
+    return dx
+
+
+def _corner_weight_pack(x, grid_sizes, with_grads: bool = False):
+    """(3, N) positions -> trilerp corner weights in the (128, N)
+    replicated neighborhood-table row layout (8 corner weights broadcast
+    over 16-channel blocks). With ``with_grads``, also the three exact
+    derivative stencils d w / d frac_axis (the per-axis lerp factor
+    replaced by its +-1 sign)."""
+    n = x.shape[1]
+    vx = x[0:1] * float(grid_sizes[0]) - 0.5
+    vy = x[1:2] * float(grid_sizes[1]) - 0.5
+    vz = x[2:3] * float(grid_sizes[2]) - 0.5
+    fx = vx - jnp.floor(vx)                 # (1, N)
+    fy = vy - jnp.floor(vy)
+    fz = vz - jnp.floor(vz)
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+    one = jnp.ones_like(fx)
+
+    def rep(w8):
+        return jnp.concatenate(
+            [jnp.broadcast_to(wk, (16, n)) for wk in w8], axis=0)
+
+    def stencil(zf, yf, xf):
+        # corner order k = dz*4 + dy*2 + dx
+        return [zf[0] * yf[0] * xf[0], zf[0] * yf[0] * xf[1],
+                zf[0] * yf[1] * xf[0], zf[0] * yf[1] * xf[1],
+                zf[1] * yf[0] * xf[0], zf[1] * yf[0] * xf[1],
+                zf[1] * yf[1] * xf[0], zf[1] * yf[1] * xf[1]]
+
+    wrep = rep(stencil((gz, fz), (gy, fy), (gx, fx)))
+    if not with_grads:
+        return wrep
+    wgx = rep(stencil((gz, fz), (gy, fy), (-one, one)))
+    wgy = rep(stencil((gz, fz), (-one, one), (gx, fx)))
+    wgz = rep(stencil((-one, one), (gy, fy), (gx, fx)))
+    return wrep, wgx, wgy, wgz
+
+
+def _corner_wrep(x, grid_sizes):
+    return _corner_weight_pack(x, grid_sizes)
+
+
+def _subbox_onehot(lrow_ref, sz3p: int, n: int, dtype):
+    """(1, 1, N) f32 local-row indices -> (SZ3P, N) one-hot matrix."""
+    lrow = lrow_ref[0].astype(jnp.int32)      # (1, N)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (sz3p, n), 0)
+    return (iot == lrow).astype(dtype)
+
+
+def _latent_features(x, lat_ref, lrow_ref, *, has_latent, latent_table,
+                     latent_subbox, grid_sizes, compute_dtype):
+    """Per-sample latent features in transposed layout.
+
+    Returns (lat, wrep, onehot, rows_t): lat is (128, N) corner-weighted
+    neighborhood rows (table modes) or (CL, N) trilerped features;
+    wrep/onehot/rows_t (the unweighted per-sample rows) are the reusable
+    intermediates for the adjoint and the normal sweep.
+
+    Sub-box mode is the TPU answer to the reference's 3D-texture latent
+    fetch (renderer_volume_tensorcores.cuh:839-948): the caller gathers
+    ONE small sub-box of table rows per (ray-tile, segment) -- legal
+    because a coherent pixel-block tile marching one segment only spans
+    a few grid cells -- and the kernel resolves per-sample rows from the
+    VMEM-resident sub-box with a one-hot MXU contraction, which also
+    emits the rows directly in (128, N) layout (no in-kernel transpose).
+    """
+    if not has_latent:
+        return None, None, None, None
+    if latent_subbox:
+        sz3p = latent_subbox[3]
+        n = x.shape[1]
+        wrep = _corner_wrep(x, grid_sizes)
+        oh_dtype = (jnp.bfloat16 if lat_ref.dtype == jnp.bfloat16
+                    else jnp.float32)
+        oh = _subbox_onehot(lrow_ref, sz3p, n, oh_dtype)
+        rows_t = jax.lax.dot_general(
+            lat_ref[:], oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (128, N)
+        return rows_t * wrep, wrep, oh, rows_t
+    if latent_table:
+        # per-sample gathered rows (N, 128): fold the 8 corner weights
+        # into a (128, N) mask; the channel sum is absorbed into the
+        # (H, 128) first-layer latent block (see fused_trace_dvr)
+        wrep = _corner_wrep(x, grid_sizes)
+        rows_t = lat_ref[:].astype(jnp.float32).T
+        return rows_t * wrep, wrep, None, rows_t
+    return lat_ref[0], None, None, None
+
+
+def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
                     n_hidden: int, activation: str, act_param: float,
-                    output_direct: bool, has_latent: bool,
+                    output_mode: str, has_latent: bool,
                     latent_table: bool, grid_sizes: tuple, tf_points: int,
                     blend_beer: bool, seg: int, tile: int,
                     density_min: float, density_max: float,
                     stepsize: float, early_alpha: float,
                     box_min: tuple, box_size: tuple,
-                    compute_dtype):
+                    compute_dtype, latent_subbox: tuple = (),
+                    has_direction: bool = False,
+                    need_normals: bool = False,
+                    brdf: tuple = ()):
     """One (ray-tile, segment) program in transposed layout.
 
     s (1, 1) scalar segment index (SMEM); rays (8, tile) packet
-    [start*3, dir*3, tmin, tmax]; lat rows (N, 128) or features
-    (1, CL, N); carry (8, tile); N = seg*tile, column = j*tile + ray.
-    Positions are rebuilt in-kernel from the ray packet -- streaming them
-    from HBM plus the XLA-side transposes cost 26 ms/segment (measured),
-    ~10x the useful work.
+    [start*3, dir*3, tmin, tmax]; lat = table rows (N, 128), sub-box
+    rows (SZ3P, 128) (followed by a (1, 1, N) local-row ref), or
+    features (1, CL, N); carry (8|16, tile) (16 rows carry blended
+    normal+depth when ``need_normals``); N = seg*tile, column =
+    j*tile + ray. Positions are rebuilt in-kernel from the ray packet --
+    streaming them from HBM plus the XLA-side transposes cost
+    26 ms/segment (measured), ~10x the useful work.
+
+    ``need_normals`` adds the in-kernel adjoint normal sweep + Blinn-
+    Phong/Lambert shading (the MXU analogue of the reference's fused
+    evalNormal, renderer_volume_tensorcores.cuh:1202-1450 and
+    renderer_brdf_lambert.cuh:55-105). rgbo output modes skip the TF
+    (reference: RAY_EVALUATION_STEPPING__SKIP_TRANSFER_FUNCTION).
     """
+    if latent_subbox:
+        lrow_ref = refs[0]
+        refs = refs[1:]
+    else:
+        lrow_ref = None
+    carry_ref = refs[0]
+    (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref, w1cos_ref, w1sin_ref,
+     w1lat_ref, b1_ref) = refs[1:9]
+    rest_refs = refs[9:]
     hw = rest_refs[:n_hidden]
     hb = rest_refs[n_hidden:2 * n_hidden]
     wout_ref = rest_refs[2 * n_hidden]
     bout_ref = rest_refs[2 * n_hidden + 1]
     tf_ref = rest_refs[2 * n_hidden + 2]
     out_ref = rest_refs[2 * n_hidden + 3]
+    rgbo = not output_mode.startswith("density")
 
     s = s_ref[0, 0].astype(jnp.float32)
     rays = rays_ref[:]                         # (8, tile)
@@ -322,83 +599,172 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, carry_ref,
          for jj in range(seg)], axis=1)        # (1, N)
     # world positions -> [0,1]^3 volume coords, channel-by-channel
     xs = []
+    ds = []
     for c in range(3):
         sc = jnp.concatenate([rays[c:c + 1, :]] * seg, axis=1)
         dc = jnp.concatenate([rays[3 + c:4 + c, :]] * seg, axis=1)
+        ds.append(dc)
         xs.append((sc + tval * dc - box_min[c]) / box_size[c])
     x = jnp.concatenate(xs, axis=0)            # (3, N)
-    if not has_latent:
-        lat = None
-    elif latent_table:
-        # in-kernel trilerp over the neighborhood rows (N, 128): compute
-        # the 8 corner weights from the position fractions and fold them
-        # into a (128, N) mask; the channel sum is absorbed into the
-        # (H, 128) first-layer latent block (see fused_trace_dvr)
-        n = x.shape[1]
-        vx = x[0:1] * float(grid_sizes[0]) - 0.5
-        vy = x[1:2] * float(grid_sizes[1]) - 0.5
-        vz = x[2:3] * float(grid_sizes[2]) - 0.5
-        fx = vx - jnp.floor(vx)                 # (1, N)
-        fy = vy - jnp.floor(vy)
-        fz = vz - jnp.floor(vz)
-        gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
-        w8 = [gz * gy * gx, gz * gy * fx, gz * fy * gx, gz * fy * fx,
-              fz * gy * gx, fz * gy * fx, fz * fy * gx, fz * fy * fx]
-        wrep = jnp.concatenate(
-            [jnp.broadcast_to(wk, (16, n)) for wk in w8], axis=0)
-        lat = lat_ref[:].astype(jnp.float32).T * wrep   # (128, N)
-    else:
-        lat = lat_ref[0]
-    value = _mlp_density_T(
-        x, lat, fourier_ref[:], w1pos_ref[:], w1cos_ref[:], w1sin_ref[:],
+    dirs = jnp.concatenate(ds, axis=0) if has_direction else None
+    lat, _, _, rows_t = _latent_features(
+        x, lat_ref, lrow_ref, has_latent=has_latent,
+        latent_table=latent_table, latent_subbox=latent_subbox,
+        grid_sizes=grid_sizes, compute_dtype=compute_dtype)
+    value, dv_dy, pack = _mlp_forward_T(
+        x, dirs, lat, fourier_ref[:],
+        fdir_ref[:] if has_direction else None, w1pos_ref[:],
+        w1dir_ref[:] if has_direction else None,
+        w1cos_ref[:], w1sin_ref[:],
         w1lat_ref[:] if has_latent else None, b1_ref[:],
         [w[:] for w in hw], [b[:] for b in hb], wout_ref[:], bout_ref[:],
         activation=activation, act_param=act_param,
-        output_direct=output_direct, compute_dtype=compute_dtype)
-    # value: (1, N)
+        output_mode=output_mode, compute_dtype=compute_dtype,
+        want_pack=need_normals)
+    # value: (C_out, N)
+
+    grad2 = None
+    if need_normals:
+        g01 = _mlp_position_grad_T(
+            pack, dv_dy, x, rows_t, fourier_ref[:], w1pos_ref[:],
+            w1cos_ref[:], w1sin_ref[:],
+            w1lat_ref[:] if has_latent else None,
+            [w[:] for w in hw], wout_ref[:],
+            activation=activation, act_param=act_param,
+            grid_sizes=grid_sizes,
+            has_latent_table=has_latent and (latent_table
+                                             or bool(latent_subbox)),
+            compute_dtype=compute_dtype)
+        # world-space density gradient (pos01 = (x_w - bmin)/bsize).
+        # Row extraction via a one-hot selector matmul: Mosaic cannot
+        # reshape a sliced row of a (3, N) vector ("unsupported shape
+        # cast"), but the (1, N) result of a matmul reshapes fine.
+        eye3 = (jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+                ).astype(jnp.float32)
+        grad2 = [jnp.dot(eye3[c:c + 1], g01,
+                         preferred_element_type=jnp.float32
+                         ).reshape(seg, tile) / box_size[c]
+                 for c in range(3)]
+
+    carry = carry_ref[:]                       # (8|16, tile)
+    tval2 = tval.reshape(seg, tile)
+    valid = tval2 <= tmax                      # (1, tile) broadcasts
 
     inv_range = 1.0 / (density_max - density_min)
-    # dense (seg, tile) layout for the epilogue: the (1, N) row uses 1/8
-    # of each vreg's sublanes; reshaped, TF + compositing run dense
-    v2 = value.reshape(seg, tile)
-    density2 = (v2 - density_min) * inv_range
-    d_clip = jnp.clip(density2, 0.0, 1.0)
+    if rgbo:
+        # color field: skip the TF, scale absorption by the stepsize
+        # (reference: renderer_ray_evaluation_stepping_dvr.cuh:105-111)
+        # selector matmul, not a slice: see the grad2 comment above
+        eye4 = (jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+                ).astype(jnp.float32)
+        rgba = [jnp.dot(eye4[c:c + 1], value,
+                        preferred_element_type=jnp.float32
+                        ).reshape(seg, tile) for c in range(4)]
+        absorption = rgba[3] * stepsize
+        require = valid
+        prev_out = carry[4:5, :]
+    else:
+        # dense (seg, tile) layout for the epilogue: the (1, N) row uses
+        # 1/8 of each vreg's sublanes; reshaped, TF + compositing run
+        # dense
+        v2 = value.reshape(seg, tile)
+        density2 = (v2 - density_min) * inv_range
+        d_clip = jnp.clip(density2, 0.0, 1.0)
 
-    # piecewise-linear TF, unrolled over control intervals
-    # (reference: renderer_tf_piecewise.cuh:27-64); interval index
-    # i = sum_k [knot_k <= d] over interior knots
-    knots = [tf_ref[k, 4] for k in range(tf_points)]
-    interval = jnp.zeros_like(d_clip, dtype=jnp.int32)
-    for k in range(1, tf_points - 1):
-        interval += (knots[k] <= d_clip).astype(jnp.int32)
-    rgba = [jnp.zeros_like(d_clip) for _ in range(4)]
-    for k in range(tf_points - 1):
-        p0 = knots[k]
-        p1 = knots[k + 1]
-        frac = (jnp.clip(d_clip, p0, p1) - p0) / (p1 - p0)
-        sel = interval == k
-        for c in range(4):
-            v = tf_ref[k, c] + frac * (tf_ref[k + 1, c] - tf_ref[k, c])
-            rgba[c] = jnp.where(sel, v, rgba[c])
-    absorption = rgba[3] * stepsize            # (seg, tile)
+        # piecewise-linear TF, unrolled over control intervals
+        # (reference: renderer_tf_piecewise.cuh:27-64); interval index
+        # i = sum_k [knot_k <= d] over interior knots
+        knots = [tf_ref[k, 4] for k in range(tf_points)]
+        interval = jnp.zeros_like(d_clip, dtype=jnp.int32)
+        for k in range(1, tf_points - 1):
+            interval += (knots[k] <= d_clip).astype(jnp.int32)
+        rgba = [jnp.zeros_like(d_clip) for _ in range(4)]
+        for k in range(tf_points - 1):
+            p0 = knots[k]
+            p1 = knots[k + 1]
+            frac = (jnp.clip(d_clip, p0, p1) - p0) / (p1 - p0)
+            sel = interval == k
+            for c in range(4):
+                v = tf_ref[k, c] + frac * (tf_ref[k + 1, c] - tf_ref[k, c])
+                rgba[c] = jnp.where(sel, v, rgba[c])
+        absorption = rgba[3] * stepsize        # (seg, tile)
+        require = valid & (v2 >= density_min)
+        prev_out = density2[seg - 1:seg, :]
+
+    n_safe = None
+    if need_normals:
+        gns = grad2[0] ** 2 + grad2[1] ** 2 + grad2[2] ** 2
+        inv_gn = jax.lax.rsqrt(jnp.maximum(gns, 1e-20))
+        nz_mask = gns > 1e-12
+        n_safe = [jnp.where(nz_mask, g * inv_gn, 0.0) for g in grad2]
+    if brdf:
+        # Lambert/Blinn-Phong shading + gradient-magnitude opacity
+        # scaling (reference: renderer_brdf_lambert.cuh:55-105)
+        (en_ms, en_phong, mag_scaling, ambient, specular, mag_center,
+         mag_radius, light_is_dir, lx, ly, lz, spec_exp) = brdf
+        nrm = n_safe
+        if en_ms:
+            absorption = absorption * (
+                1.0 - jnp.exp(-mag_scaling * gns))
+        if en_phong:
+            if light_is_dir:
+                ln = float(np.sqrt(lx * lx + ly * ly + lz * lz))
+                ld = [-lx / ln, -ly / ln, -lz / ln]
+            else:
+                # world positions rebuilt by broadcast ((1,tile) rows x
+                # (seg,tile) tval2): Mosaic cannot reshape sliced rows
+                pw = [rays[c:c + 1, :] + tval2 * rays[3 + c:4 + c, :]
+                      for c in range(3)]
+                lvec = [lx - pw[0], ly - pw[1], lz - pw[2]]
+                ll = jax.lax.rsqrt(jnp.maximum(
+                    lvec[0] ** 2 + lvec[1] ** 2 + lvec[2] ** 2, 1e-20))
+                ld = [v * ll for v in lvec]
+            gn = jnp.sqrt(jnp.maximum(gns, 1e-20))
+            t01 = jnp.clip((gn - (mag_center - mag_radius))
+                           / (2.0 * mag_radius), 0.0, 1.0)
+            phong = t01 * t01 * (3.0 - 2.0 * t01)
+            amb = 1.0 + (ambient - 1.0) * phong
+            ndotl = nrm[0] * ld[0] + nrm[1] * ld[1] + nrm[2] * ld[2]
+            diffuse = [jnp.abs(ndotl) * rgba[c] for c in range(3)]
+            # reflect(ld, -n) = ld - 2*dot(-n, ld)*(-n) = ld - 2*(n.ld)n
+            refl = [ld[c] - 2.0 * ndotl * nrm[c] for c in range(3)]
+            # per-ray direction (1, tile) broadcasts over the seg axis
+            rdotr = (rays[3:4, :] * refl[0] + rays[4:5, :] * refl[1]
+                     + rays[5:6, :] * refl[2])
+            base_s = jnp.maximum(0.0, rdotr)
+            spec = jnp.ones_like(base_s)
+            e = int(spec_exp)
+            sq = base_s
+            while e:                      # integer power by squaring
+                if e & 1:
+                    spec = spec * sq
+                sq = sq * sq
+                e >>= 1
+            spec = ((spec_exp + 2) * 0.159155) * spec
+            rgba[:3] = [amb * rgba[c] + (1.0 - amb)
+                        * (diffuse[c] + specular * spec)
+                        for c in range(3)]
 
     # compositing as an associative tree reduction over the step axis:
     # per-step element (C_j, A_j) with C_j = rgba_j * ca_j; composition
     # (C1,A1)o(C2,A2) = (C1+(1-A1)C2, A1+(1-A1)A2) reproduces sequential
     # front-to-back blending exactly (alpha "over" is associative).
+    # Normals and depth blend with the same weights as color
+    # (reference: renderer_blending.cuh:36-52).
     # In-segment alpha-early-out is dropped (segment-level voting only);
     # the skipped tail is weighted by (1-alpha) <= 1-early_alpha.
-    carry = carry_ref[:]                       # (8, tile)
-    tval2 = tval.reshape(seg, tile)
-    tmax_b = tmax                              # (1, tile) broadcasts
-    valid = tval2 <= tmax_b
-    require = valid & (v2 >= density_min)
     absn = jnp.where(require, absorption, 0.0)
     if blend_beer:
         ca = 1.0 - jnp.exp(-absn)
     else:
         ca = jnp.minimum(1.0, absn)
     prem = [jnp.where(require, rgba[c], 0.0) * ca for c in range(3)]
+    if need_normals:
+        prem += [jnp.where(require, nc, 0.0) for nc in n_safe]
+        prem.append(jnp.where(require, tval2, 0.0))
+        prem[3:7] = [p * ca for p in prem[3:7]]
 
     def compose(lhs, rhs):
         lc, la = lhs
@@ -416,16 +782,19 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, carry_ref,
     seg_c, seg_a = reduce_range(0, seg)        # (1, tile) each
     alpha = carry[3:4, :]
     w0 = 1.0 - alpha
-    rgb_r = carry[0:1, :] + w0 * seg_c[0]
-    rgb_g = carry[1:2, :] + w0 * seg_c[1]
-    rgb_b = carry[2:3, :] + w0 * seg_c[2]
-    alpha = alpha + w0 * seg_a
-    out_ref[0:1, :] = rgb_r
-    out_ref[1:2, :] = rgb_g
-    out_ref[2:3, :] = rgb_b
-    out_ref[3:4, :] = alpha
-    out_ref[4:5, :] = density2[seg - 1:seg, :]
-    out_ref[5:8, :] = carry[5:8, :]
+    out_ref[0:1, :] = carry[0:1, :] + w0 * seg_c[0]
+    out_ref[1:2, :] = carry[1:2, :] + w0 * seg_c[1]
+    out_ref[2:3, :] = carry[2:3, :] + w0 * seg_c[2]
+    out_ref[3:4, :] = alpha + w0 * seg_a
+    out_ref[4:5, :] = prev_out
+    if need_normals:
+        out_ref[5:6, :] = carry[5:6, :] + w0 * seg_c[3]
+        out_ref[6:7, :] = carry[6:7, :] + w0 * seg_c[4]
+        out_ref[7:8, :] = carry[7:8, :] + w0 * seg_c[5]
+        out_ref[8:9, :] = carry[8:9, :] + w0 * seg_c[6]
+        out_ref[9:16, :] = carry[9:16, :]
+    else:
+        out_ref[5:8, :] = carry[5:8, :]
 
 
 def _pad_tf(tf_tensor: Array) -> Array:
@@ -436,7 +805,14 @@ def _pad_tf(tf_tensor: Array) -> Array:
 
 
 def _weight_list(w: FusedWeights, tf_pad: Array) -> list:
-    out = [w.fourier, w.w1_pos, w.w1_cos, w.w1_sin]
+    f = w.fourier.shape[0]
+    out = [w.fourier,
+           w.fourier_dir if w.fourier_dir is not None
+           else jnp.zeros((f, 3), w.fourier.dtype),
+           w.w1_pos,
+           w.w1_dir if w.w1_dir is not None
+           else jnp.zeros((w.b1.shape[0], 3), w.b1.dtype),
+           w.w1_cos, w.w1_sin]
     out.append(w.w1_lat if w.w1_lat is not None
                else jnp.zeros((w.b1.shape[0], 8), w.b1.dtype))
     out.append(w.b1)
@@ -460,14 +836,34 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                     differentiable: bool = False,
                     latent_mode: str = "table",
                     table_dtype=jnp.float32,
-                    interpret: bool = False) -> Array:
-    """Fused DVR through a density SRN. Returns rgba (R, 4).
+                    subbox=0,
+                    need_normals: bool = False,
+                    brdf=None,
+                    interpret: bool = False):
+    """Fused DVR through an SRN. Returns rgba (R, 4), or a
+    ``RayEvaluationOutput`` (color, blended normal, depth) when
+    ``need_normals`` -- the in-kernel adjoint normal + shading path
+    (``brdf``: an optional BRDFLambert whose leaves must be concrete;
+    its parameters are baked into the kernel like the box).
 
     Semantics match ``trace_dvr`` over a ``VolumeInterpolationNetwork``
     with need_normals=False (verified allclose in tests/test_fused.py).
     ``differentiable=True`` uses a fixed-count segment scan (reverse-AD via
     per-segment rematerialization); the default runs a while_loop that
     stops once every ray saturated or left the box.
+
+    ``subbox`` activates the sub-box latent path: per (ray-tile, segment)
+    the latent gather fetches ONE small (szx, szy, szz) corner sub-box
+    instead of a 128-lane row per sample, and the kernel resolves rows
+    in-VMEM with a one-hot MXU contraction (see ``_latent_features``).
+    Cuts the latent-grid HBM traffic by ~(seg*tile)/(szx*szy*szz) and in
+    the backward replaces both the scatter-row compaction and most of
+    the XLA scatter. REQUIRES spatially coherent ray tiles (see
+    ``block_ray_permutation``) and a size that covers the true footprint:
+    pass ``subbox="auto"`` with concrete rays (``certify_subbox``), an
+    int (cubic), or a per-axis (szx, szy, szz) tuple. Samples whose
+    corner falls outside the sub-box are silently clamped to it -- the
+    caller must certify the size.
 
     The differentiable latent-grid gradient uses in-kernel run compaction
     when the per-segment voxel-crossing bound allows it; the bound assumes
@@ -522,11 +918,66 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     tf_pad = _pad_tf(tf_tensor)
     tf_points = tf_tensor.shape[0]
 
+    # resolve the sub-box latent mode (see docstring)
+    subbox_t = ()
+    sub_offsets = None
+    if use_table and subbox:
+        if subbox == "auto":
+            sizes = certify_subbox(
+                ray_start, ray_dir, grid_sizes, box_min, box_size,
+                stepsize=stepsize, max_steps=max_steps, seg=seg, tile=tile)
+        elif isinstance(subbox, int):
+            sizes = (subbox, subbox, subbox)
+        else:
+            sizes = tuple(int(v) for v in subbox)
+        szx = min(sizes[0], grid_sizes[0] + 1)
+        szy = min(sizes[1], grid_sizes[1] + 1)
+        szz = min(sizes[2], grid_sizes[2] + 1)
+        sz3 = szx * szy * szz
+        # pad the row count to the coarsest sublane tile (32 covers int8)
+        sz3p = ((sz3 + 31) // 32) * 32
+        subbox_t = (szx, szy, szz, sz3p)
+        li = np.arange(sz3p, dtype=np.int64)
+        lz = np.where(li < sz3, li // (szy * szx), 0)
+        ly = np.where(li < sz3, (li // szx) % szy, 0)
+        lx = np.where(li < sz3, li % szx, 0)
+        sub_offsets = (jnp.asarray(lx, jnp.int32),
+                       jnp.asarray(ly, jnp.int32),
+                       jnp.asarray(lz, jnp.int32))
+
+    rgbo = not net.output_mode.startswith("density")
+    if differentiable and (need_normals or rgbo):
+        raise NotImplementedError(
+            "differentiable fused path: density networks without "
+            "normals/shading (use the plain-JAX oracle for those)")
+    if need_normals and rgbo:
+        raise ValueError("normals are only defined for density networks")
+    brdf_t = ()
+    if brdf is not None and (brdf.enable_phong
+                             or brdf.enable_magnitude_scaling):
+        if not need_normals:
+            raise ValueError("brdf shading requires need_normals=True")
+        lp = np.asarray(brdf.light_parameter, np.float32)
+        brdf_t = (bool(brdf.enable_magnitude_scaling),
+                  bool(brdf.enable_phong),
+                  float(np.asarray(brdf.magnitude_scaling)),
+                  float(np.asarray(brdf.ambient)),
+                  float(np.asarray(brdf.specular)),
+                  float(np.asarray(brdf.magnitude_center)),
+                  float(np.asarray(brdf.magnitude_radius)),
+                  brdf.light_type == "direction",
+                  float(lp[0]), float(lp[1]), float(lp[2]),
+                  int(brdf.specular_exponent))
+    crows = 16 if need_normals else 8
+
     n_hidden = len(weights.hidden_w)
     static_kwargs = dict(
         activation=net.layers[0].activation,
         act_param=net.layers[0].activation_param,
-        output_direct=(net.output_mode == "density:direct"),
+        output_mode=net.output_mode,
+        has_direction=net.input.has_direction,
+        need_normals=need_normals,
+        brdf=brdf_t,
         has_latent=has_latent,
         latent_table=use_table,
         grid_sizes=grid_sizes,
@@ -545,25 +996,37 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                      if enable_early_out and not differentiable else 2.0),
         box_min=bmin_t, box_size=bsize_t,
         compute_dtype=compute_dtype,
+        latent_subbox=subbox_t,
     )
     kernel = functools.partial(_segment_kernel, n_hidden=n_hidden,
                                **static_kwargs)
 
     wlist = _weight_list(weights, tf_pad)
+    if subbox_t:
+        lat_spec = pl.BlockSpec((subbox_t[3], 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    elif use_table:
+        lat_spec = pl.BlockSpec((n_samples, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        lat_spec = pl.BlockSpec((1, cl, n_samples), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
     in_specs = [
         # segment index scalar
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         # rays packet (8, R)
         pl.BlockSpec((8, tile), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
-        # latent: table rows (n_tiles*seg*tile, 128) or trilerped
-        # features (n_tiles, CL, seg*tile)
-        (pl.BlockSpec((n_samples, 128), lambda i: (i, 0),
-                      memory_space=pltpu.VMEM) if use_table else
-         pl.BlockSpec((1, cl, n_samples), lambda i: (i, 0, 0),
-                      memory_space=pltpu.VMEM)),
-        # carry (8, R)
-        pl.BlockSpec((8, tile), lambda i: (0, i),
+        # latent: sub-box rows (n_tiles*SZ3P, 128), table rows
+        # (n_tiles*seg*tile, 128), or features (n_tiles, CL, seg*tile)
+        lat_spec,
+    ] + ([
+        # per-sample local sub-box row index (n_tiles, 1, N)
+        pl.BlockSpec((1, 1, n_samples), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] if subbox_t else []) + [
+        # carry (8|16, R)
+        pl.BlockSpec((crows, tile), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
     ] + [
         pl.BlockSpec(w.shape, (lambda i, n=w.ndim: (0,) * n),
@@ -573,14 +1036,14 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     grid_spec = pl.GridSpec(
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((crows, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
     )
 
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, r_total), dtype),
+        out_shape=jax.ShapeDtypeStruct((crows, r_total), dtype),
         interpret=interpret,
     )
 
@@ -607,6 +1070,32 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         gw_, gh_, gd_ = grid_sizes
         return (b[..., 2] * (gh_ + 1) + b[..., 1]) * (gw_ + 1) + b[..., 0]
 
+    def _segment_subbox(s):
+        """Per-tile sub-box gather rows + per-sample local row indices.
+
+        Returns (gr, lrow): gr (n_tiles, SZ3P) int32 global table rows
+        (padding repeats the base row -- never selected, adds zero in
+        the backward scatter); lrow (n_tiles, 1, N) f32 local rows.
+        """
+        szx, szy, szz, _ = subbox_t
+        gw_, gh_, gd_ = grid_sizes
+        pos01 = _tile_major_pos01(s)
+        res_arr = jnp.asarray(grid_sizes, jnp.int32)
+        v = pos01 * jnp.asarray(grid_sizes, dtype) - 0.5
+        b = jnp.clip(jnp.floor(v).astype(jnp.int32) + 1, 0, res_arr)
+        base = jnp.min(b, axis=(1, 2))            # (n_tiles, 3) x,y,z
+        limit = jnp.asarray(
+            [gw_ + 1 - szx, gh_ + 1 - szy, gd_ + 1 - szz], jnp.int32)
+        base = jnp.minimum(base, limit)
+        szm1 = jnp.asarray([szx - 1, szy - 1, szz - 1], jnp.int32)
+        loc = jnp.clip(b - base[:, None, None, :], 0, szm1)
+        lrow = (loc[..., 2] * szy + loc[..., 1]) * szx + loc[..., 0]
+        ox, oy, oz = sub_offsets                  # (SZ3P,) each
+        gr = ((base[:, 2:3] + oz[None, :]) * (gh_ + 1)
+              + (base[:, 1:2] + oy[None, :])) * (gw_ + 1) \
+            + (base[:, 0:1] + ox[None, :])        # (n_tiles, SZ3P)
+        return gr, lrow.reshape(n_tiles, 1, n_samples).astype(jnp.float32)
+
     def _segment_latent(s):
         if use_table:
             row = _segment_rows(s)
@@ -621,17 +1110,25 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         return jnp.zeros((n_tiles, cl, n_samples), dtype)
 
     def run_segment(s, carry):
-        lat = _segment_latent(s)
         s_arr = jnp.reshape(s, (1, 1)).astype(jnp.float32)
+        if subbox_t:
+            gr, lrow = _segment_subbox(s)
+            sub = table.at[gr.reshape(-1)].get(mode="promise_in_bounds")
+            return call(s_arr, rays_packet, sub, lrow, carry, *wlist)
+        lat = _segment_latent(s)
         return call(s_arr, rays_packet, lat, carry, *wlist)
 
-    carry0 = jnp.zeros((8, r_total), dtype)
+    carry0 = jnp.zeros((crows, r_total), dtype)
     carry0 = carry0.at[4, :].set(-1.0)  # prev-density sentinel
 
     if differentiable:
         from .fused_dvr_bwd import make_segment_op
-        lat_shape = ((n_tiles * n_samples, 128) if use_table
-                     else (n_tiles, cl, n_samples))
+        if subbox_t:
+            lat_shape = (n_tiles * subbox_t[3], 128)
+        elif use_table:
+            lat_shape = (n_tiles * n_samples, 128)
+        else:
+            lat_shape = (n_tiles, cl, n_samples)
         lat_dtype = table_dtype if use_table else dtype
 
         # In-kernel run compaction of the latent-grid gradient scatter:
@@ -642,8 +1139,10 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         # The backward kernel then reduces seg per-step rows to `slots`
         # slot rows, shrinking the XLA scatter (measured: the scatter,
         # not the sort order, dominates the backward -- see PERF.md).
+        # The sub-box path supersedes it: dense per-tile sub-box
+        # gradients via the transposed one-hot contraction.
         compact_slots = 0
-        if use_table:
+        if use_table and not subbox_t:
             k_vec = [seg * float(stepsize) * grid_sizes[i] / bsize_t[i]
                      for i in range(3)]
             runs_max = 4 + int(np.floor(np.sqrt(sum(k * k
@@ -663,7 +1162,20 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
             table_shape=(None if table is None else table.shape),
             table_dtype=table_dtype)
 
-        if compact_slots:
+        if subbox_t:
+            table_ng = jax.lax.stop_gradient(table)
+
+            def body(carry, s):
+                gr, lrow = _segment_subbox(s)
+                sub = table_ng.at[gr.reshape(-1)].get(
+                    mode="promise_in_bounds")
+                # f32 row indices: custom-vjp inputs need float
+                # cotangents (rows < 2^24, exact in f32)
+                gr_f = gr.astype(jnp.float32)
+                s_arr = jnp.reshape(s, (1, 1)).astype(jnp.float32)
+                return seg_op(s_arr, rays_packet, sub, lrow, gr_f,
+                              table, carry, weights, tf_pad), None
+        elif compact_slots:
             # the gather itself is not differentiated: the custom-VJP op
             # takes the table as an explicit input and hands back the
             # compacted scatter as its cotangent
@@ -706,4 +1218,9 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
 
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
 
+    if need_normals:
+        from ..raytracer.dvr import RayEvaluationOutput
+        return RayEvaluationOutput(color=carry[:4].T,
+                                   normal=carry[5:8].T,
+                                   depth=carry[8:9].T)
     return carry[:4].T

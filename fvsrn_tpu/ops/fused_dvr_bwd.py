@@ -34,60 +34,52 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_dvr import (FusedWeights, _apply_act, _fast_sin, _fast_sincos,
+from .fused_dvr import (FusedWeights, _act_deriv, _apply_act, _fast_sin,
+                        _fast_sincos, _latent_features,
                         _weight_list as weights_list)
-
-
-def _act_deriv(name: str, x: Array, p: float) -> Array:
-    """d/dx of the activations (reference: renderer_activations.cuh
-    ``adjoint`` halves)."""
-    if name == "ReLU":
-        return (x > 0).astype(x.dtype)
-    if name == "Sine":
-        return p * _fast_sincos(p * x)[1]
-    if name == "Sigmoid":
-        s = jax.nn.sigmoid(x)
-        return s * (1 - s)
-    if name == "Softplus":
-        return jax.nn.sigmoid(x)
-    if name == "Snake":
-        return 1.0 + _fast_sin(2 * p * x)
-    if name == "SnakeAlt":
-        return (1.0 + 2 * p * _fast_sin(2 * p * x)) / (2 * p)
-    if name == "None":
-        return jnp.ones_like(x)
-    raise ValueError(name)
 
 
 def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
                         n_hidden: int, activation: str, act_param: float,
-                        output_direct: bool, has_latent: bool,
+                        output_mode: str, has_latent: bool,
                         latent_table: bool, grid_sizes: tuple,
                         tf_points: int, blend_beer: bool,
                         seg: int, tile: int,
                         density_min: float, density_max: float,
                         stepsize: float, early_alpha: float,
                         box_min: tuple, box_size: tuple,
-                        compute_dtype, compact_slots: int = 0):
+                        compute_dtype, compact_slots: int = 0,
+                        latent_subbox: tuple = (),
+                        has_direction: bool = False,
+                        need_normals: bool = False,
+                        brdf: tuple = ()):
     """Backward of one (ray-tile, segment) program.
 
     Inputs mirror the forward kernel plus ``dcarry`` (8, tile), the
     cotangent of the output carry (and, with ``compact_slots``, the
-    per-sample table rows (1, N) f32). Outputs (after the weight refs):
-    d_lat (or d_slot + slot_rows when compacting), d_carry_in,
-    d_fourier, d_w1pos, d_w1cos, d_w1sin, d_w1lat, d_b1,
-    d_hidden_w..., d_hidden_b..., d_wout, d_bout, d_tf.
-    Weight/TF gradients accumulate across grid programs.
+    per-sample table rows (1, N) f32; with ``latent_subbox``, the
+    per-sample local sub-box rows (1, 1, N) f32). Outputs (after the
+    weight refs): d_lat (d_slot + slot_rows when compacting; d_sub
+    (SZ3P, 128) in sub-box mode), d_carry_in, d_fourier, d_w1pos,
+    d_w1cos, d_w1sin, d_w1lat, d_b1, d_hidden_w..., d_hidden_b...,
+    d_wout, d_bout, d_tf. Weight/TF gradients accumulate across grid
+    programs.
     """
+    lrow_ref = None
+    if latent_subbox:
+        lrow_ref = refs[0]
+        refs = refs[1:]
     if compact_slots:
         rows_ref = refs[0]
         refs = refs[1:]
     else:
         rows_ref = None
+    assert not need_normals and not brdf, \
+        "differentiable fused path has no normal/shading support"
     carry_ref, dcarry_ref = refs[0], refs[1]
-    (fourier_ref, w1pos_ref, w1cos_ref, w1sin_ref,
-     w1lat_ref, b1_ref) = refs[2:8]
-    rest_refs = refs[8:]
+    (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref, w1cos_ref, w1sin_ref,
+     w1lat_ref, b1_ref) = refs[2:10]
+    rest_refs = refs[10:]
     hw = rest_refs[:n_hidden]
     hb = rest_refs[n_hidden:2 * n_hidden]
     wout_ref = rest_refs[2 * n_hidden]
@@ -102,13 +94,13 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         dslot_ref = rowsout_ref = None
         dlat_ref = outs[0]
         outs = outs[1:]
-    (dcarry_in_ref, dfourier_ref, dw1pos_ref, dw1cos_ref,
-     dw1sin_ref, dw1lat_ref, db1_ref) = outs[:7]
-    dhw = outs[7:7 + n_hidden]
-    dhb = outs[7 + n_hidden:7 + 2 * n_hidden]
-    dwout_ref = outs[7 + 2 * n_hidden]
-    dbout_ref = outs[7 + 2 * n_hidden + 1]
-    dtf_ref = outs[7 + 2 * n_hidden + 2]
+    (dcarry_in_ref, dfourier_ref, dfdir_ref, dw1pos_ref, dw1dir_ref,
+     dw1cos_ref, dw1sin_ref, dw1lat_ref, db1_ref) = outs[:9]
+    dhw = outs[9:9 + n_hidden]
+    dhb = outs[9 + n_hidden:9 + 2 * n_hidden]
+    dwout_ref = outs[9 + 2 * n_hidden]
+    dbout_ref = outs[9 + 2 * n_hidden + 1]
+    dtf_ref = outs[9 + 2 * n_hidden + 2]
 
     cd = compute_dtype
     f32 = jnp.float32
@@ -133,37 +125,29 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         [tmin + (jnp.float32(jj) + s * seg) * stepsize
          for jj in range(seg)], axis=1)
     xs = []
+    ds = []
     for c in range(3):
         sc = jnp.concatenate([rays[c:c + 1, :]] * seg, axis=1)
         dc = jnp.concatenate([rays[3 + c:4 + c, :]] * seg, axis=1)
+        ds.append(dc)
         xs.append((sc + tval * dc - box_min[c]) / box_size[c])
     x = jnp.concatenate(xs, axis=0)            # (3, N)
+    dirs = jnp.concatenate(ds, axis=0) if has_direction else None
     n = x.shape[1]
 
-    wrep = None
-    lat = None
-    if has_latent:
-        if latent_table:
-            vx = x[0:1] * float(grid_sizes[0]) - 0.5
-            vy = x[1:2] * float(grid_sizes[1]) - 0.5
-            vz = x[2:3] * float(grid_sizes[2]) - 0.5
-            fx = vx - jnp.floor(vx)
-            fy = vy - jnp.floor(vy)
-            fz = vz - jnp.floor(vz)
-            gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
-            w8 = [gz * gy * gx, gz * gy * fx, gz * fy * gx, gz * fy * fx,
-                  fz * gy * gx, fz * gy * fx, fz * fy * gx, fz * fy * fx]
-            wrep = jnp.concatenate(
-                [jnp.broadcast_to(wk, (16, n)) for wk in w8], axis=0)
-            rowsT = lat_ref[:].astype(f32).T    # (128, N)
-            lat = rowsT * wrep
-        else:
-            lat = lat_ref[0]
+    lat, wrep, oh, _rows_t = _latent_features(
+        x, lat_ref, lrow_ref, has_latent=has_latent,
+        latent_table=latent_table, latent_subbox=latent_subbox,
+        grid_sizes=grid_sizes, compute_dtype=compute_dtype)
 
     fr = mm(fourier_ref[:], x)                 # (F, N)
+    if has_direction:
+        fr += mm(fdir_ref[:], dirs)
     sinf, cosf = _fast_sincos(fr)
     pre1 = mm(w1pos_ref[:], x) + mm(w1cos_ref[:], cosf) \
         + mm(w1sin_ref[:], sinf)
+    if has_direction:
+        pre1 += mm(w1dir_ref[:], dirs)
     if lat is not None:
         pre1 += mm(w1lat_ref[:], lat)
     pre1 += b1_ref[:].astype(f32)
@@ -174,7 +158,7 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         pres.append(pre)
         hs.append(_apply_act(activation, pre, act_param))
     y = mm(wout_ref[:], hs[-1]) + bout_ref[:].astype(f32)  # (1, N)
-    if output_direct:
+    if output_mode == "density:direct":
         value = jnp.clip(y, 0.0, 1.0)
     else:
         value = jax.nn.sigmoid(y)
@@ -293,7 +277,7 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
 
     d_density2 = jnp.where((density2 > 0) & (density2 < 1), d_dclip, 0.0)
     d_value = d_density2 * inv_range
-    if output_direct:
+    if output_mode == "density:direct":
         d_y = jnp.where((y > 0) & (y < 1), d_value, 0.0)
     else:
         d_y = d_value * value * (1.0 - value)
@@ -305,10 +289,12 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         dbout_ref[:] = jnp.zeros_like(dbout_ref)
         db1_ref[:] = jnp.zeros_like(db1_ref)
         dw1pos_ref[:] = jnp.zeros_like(dw1pos_ref)
+        dw1dir_ref[:] = jnp.zeros_like(dw1dir_ref)
         dw1cos_ref[:] = jnp.zeros_like(dw1cos_ref)
         dw1sin_ref[:] = jnp.zeros_like(dw1sin_ref)
         dw1lat_ref[:] = jnp.zeros_like(dw1lat_ref)
         dfourier_ref[:] = jnp.zeros_like(dfourier_ref)
+        dfdir_ref[:] = jnp.zeros_like(dfdir_ref)
         for k in range(n_hidden):
             dhw[k][:] = jnp.zeros_like(dhw[k])
             dhb[k][:] = jnp.zeros_like(dhb[k])
@@ -332,10 +318,22 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     # position gradients (fourier^T d_f + w1pos^T dpre1) are dropped:
     # camera is not differentiated through the fused path (v1)
     dfourier_ref[:] += mm_ct(d_f, x)
+    if has_direction:
+        dw1dir_ref[:] += mm_ct(dpre1, dirs)
+        dfdir_ref[:] += mm_ct(d_f, dirs)
     if has_latent:
         dw1lat_ref[:] += mm_ct(dpre1, lat)
         d_lat = mm(w1lat_ref[:].T, dpre1)      # (128|CL, N)
-        if latent_table and compact_slots:
+        if latent_subbox:
+            # dense per-tile sub-box gradient: the transposed one-hot
+            # contraction folds the per-sample scatter rows into
+            # (SZ3P, 128) on the MXU -- replaces both the slot
+            # compaction and (seg*tile)/SZ3 of the XLA scatter
+            d_rows = d_lat * wrep                      # (128, N)
+            dlat_ref[:] = jax.lax.dot_general(
+                oh, d_rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32).astype(dlat_ref.dtype)
+        elif latent_table and compact_slots:
             # Run compaction: consecutive steps of a ray that share a
             # base voxel are summed into one slot row, shrinking the
             # XLA scatter-add by seg/compact_slots. Slot id = prefix
@@ -394,8 +392,12 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
     table, carry, weights, tf_pad) -> carry_out, where ``table`` is the
     neighborhood table whose cotangent is produced by the compacted
     slot-row scatter (the gather itself is stop-gradiented by the
-    caller)."""
+    caller). In sub-box mode (kernel_kwargs['latent_subbox'] non-empty)
+    it is (s, rays, sub, lrow, gr_f, table, carry, weights, tf_pad) ->
+    carry_out: the table cotangent is the dense per-tile sub-box
+    gradient scattered at the float-encoded global rows ``gr_f``."""
     dtype = jnp.float32
+    subbox = tuple(kernel_kwargs.get("latent_subbox", ()) or ())
 
     fwd_call = pl.pallas_call(
         kernel_fwd,
@@ -410,11 +412,16 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
                                    **kernel_kwargs)
 
     def _run_bwd(s_arr, rays, lat, rows, carry, d_out, wlist):
-        lat_spec = (pl.BlockSpec((n_samples, 128), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM) if use_table
-                    else pl.BlockSpec((1, cl, n_samples),
-                                      lambda i: (i, 0, 0),
-                                      memory_space=pltpu.VMEM))
+        if subbox:
+            lat_spec = pl.BlockSpec((subbox[3], 128), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+        elif use_table:
+            lat_spec = pl.BlockSpec((n_samples, 128), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+        else:
+            lat_spec = pl.BlockSpec((1, cl, n_samples),
+                                    lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
         tile_spec = pl.BlockSpec((8, tile), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
         in_specs = [
@@ -424,7 +431,8 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
             lat_spec,
         ]
         ins = [s_arr, rays, lat]
-        if compact_slots:
+        if compact_slots or subbox:
+            # per-sample table rows (compact) / local sub-box rows
             in_specs.append(pl.BlockSpec((1, 1, n_samples),
                                          lambda i: (i, 0, 0),
                                          memory_space=pltpu.VMEM))
@@ -437,10 +445,19 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
             for w in wlist
         ]
         ins += wlist
-        # outputs: d_lat (blocked per tile) -- or d_slot + slot rows
-        # when compacting -- then d_carry_in (blocked) and accumulated
-        # weight/tf grads (constant index maps)
-        if compact_slots:
+        # outputs: d_lat (blocked per tile) -- d_slot + slot rows when
+        # compacting, d_sub (SZ3P, 128) in sub-box mode -- then
+        # d_carry_in (blocked) and accumulated weight/tf grads
+        # (constant index maps)
+        if subbox:
+            out_specs = [
+                pl.BlockSpec((subbox[3], 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shapes = [
+                jax.ShapeDtypeStruct((n_tiles * subbox[3], 128), dtype),
+            ]
+        elif compact_slots:
             m = compact_slots * tile
             out_specs = [
                 pl.BlockSpec((m, 128), lambda i: (i, 0),
@@ -483,22 +500,64 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
         )
         return bwd_call(*ins)
 
-    def _unpack_dw(dw):
-        # order matches weights_list: fourier, w1pos, w1cos, w1sin,
-        # w1lat, b1, hidden_w..., hidden_b..., w_out, b_out, tf
-        d_fourier, d_w1pos, d_w1cos, d_w1sin, d_w1lat, d_b1 = dw[:6]
-        k = 6
+    def _unpack_dw(dw, weights):
+        # order matches weights_list: fourier, fourier_dir, w1pos,
+        # w1dir, w1cos, w1sin, w1lat, b1, hidden_w..., hidden_b...,
+        # w_out, b_out, tf; cotangent structure mirrors the primal
+        # (None fields stay None)
+        (d_fourier, d_fdir, d_w1pos, d_w1dir, d_w1cos, d_w1sin,
+         d_w1lat, d_b1) = dw[:8]
+        k = 8
         nh = n_hidden
         d_hw = tuple(dw[k:k + nh]); k += nh
         d_hb = tuple(dw[k:k + nh]); k += nh
         d_wout, d_bout, d_tf = dw[k], dw[k + 1], dw[k + 2]
         d_weights = FusedWeights(
-            fourier=d_fourier, w1_pos=d_w1pos, w1_cos=d_w1cos,
-            w1_sin=d_w1sin,
+            fourier=d_fourier,
+            fourier_dir=(d_fdir if weights.fourier_dir is not None
+                         else None),
+            w1_pos=d_w1pos,
+            w1_dir=d_w1dir if weights.w1_dir is not None else None,
+            w1_cos=d_w1cos, w1_sin=d_w1sin,
             w1_lat=d_w1lat if has_latent else None,
             b1=d_b1, hidden_w=d_hw, hidden_b=d_hb,
             w_out=d_wout, b_out=d_bout)
         return d_weights, d_tf
+
+    if subbox:
+        def segment(s_arr, rays, sub, lrow, gr_f, table, carry,
+                    weights: FusedWeights, tf_pad):
+            del gr_f, table   # only consumed by the backward
+            return fwd_call(s_arr, rays, sub, lrow, carry,
+                            *weights_list(weights, tf_pad))
+
+        segment = jax.custom_vjp(segment)
+
+        def segment_fwd(s_arr, rays, sub, lrow, gr_f, table, carry,
+                        weights, tf_pad):
+            out = fwd_call(s_arr, rays, sub, lrow, carry,
+                           *weights_list(weights, tf_pad))
+            return out, (s_arr, rays, sub, lrow, gr_f, carry, weights,
+                         tf_pad)
+
+        def segment_bwd(res, d_out):
+            s_arr, rays, sub, lrow, gr_f, carry, weights, tf_pad = res
+            wlist = weights_list(weights, tf_pad)
+            outs = _run_bwd(s_arr, rays, sub, lrow, carry, d_out, wlist)
+            d_sub, d_carry = outs[0], outs[1]
+            d_weights, d_tf = _unpack_dw(list(outs[2:]), weights)
+            idx = gr_f.reshape(-1).astype(jnp.int32)
+            # pad rows repeat the base row and carry zero gradient, so a
+            # plain in-bounds add is exact
+            d_table = jnp.zeros((table_shape[0], 128), dtype).at[idx].add(
+                d_sub, mode="promise_in_bounds").astype(table_dtype)
+            return (jnp.zeros((1, 1), jnp.float32),
+                    jnp.zeros_like(rays), jnp.zeros_like(sub),
+                    jnp.zeros_like(lrow), jnp.zeros_like(gr_f),
+                    d_table, d_carry, d_weights, d_tf)
+
+        segment.defvjp(segment_fwd, segment_bwd)
+        return segment
 
     if compact_slots:
         def segment(s_arr, rays, lat, rows, table, carry,
@@ -520,7 +579,7 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
             wlist = weights_list(weights, tf_pad)
             outs = _run_bwd(s_arr, rays, lat, rows, carry, d_out, wlist)
             d_slot, slot_rows, d_carry = outs[0], outs[1], outs[2]
-            d_weights, d_tf = _unpack_dw(list(outs[3:]))
+            d_weights, d_tf = _unpack_dw(list(outs[3:]), weights)
             idx = slot_rows.reshape(-1).astype(jnp.int32)
             # unused slots carry row -1 -> dropped as out-of-bounds
             d_table = jnp.zeros((table_shape[0], 128), dtype).at[idx].add(
@@ -550,7 +609,7 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
         wlist = weights_list(weights, tf_pad)
         outs = _run_bwd(s_arr, rays, lat, None, carry, d_out, wlist)
         d_lat, d_carry = outs[0], outs[1]
-        d_weights, d_tf = _unpack_dw(list(outs[2:]))
+        d_weights, d_tf = _unpack_dw(list(outs[2:]), weights)
         return (jnp.zeros((1, 1), jnp.float32), jnp.zeros_like(rays),
                 d_lat.astype(lat_dtype), d_carry, d_weights, d_tf)
 

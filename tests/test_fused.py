@@ -241,6 +241,82 @@ def test_fused_backward_run_compaction():
                                atol=2e-5, rtol=1e-3)
 
 
+def test_fused_subbox_forward_matches_plain():
+    """Sub-box latent path (per-tile sub-box gather + in-kernel one-hot
+    row resolve) against the plain oracle, while_loop render path."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain(net, tf, rs, rd, stepsize, steps, False))
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, subbox="auto", interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_subbox_backward_matches_autodiff_of_plain():
+    """Sub-box gradients (dense per-tile sub-box table cotangent via the
+    transposed one-hot MXU contraction) vs jax.grad of the plain oracle."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(3).random((rs.shape[0], 4)).astype(np.float32)
+
+    def loss_fused(net):
+        c = fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+            enable_early_out=False, differentiable=True,
+            subbox="auto", interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net):
+        out = _plain(net, tf, rs, rd, stepsize, steps, False)
+        return jnp.mean((out - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_fused(net)),
+                               float(loss_plain(net)), rtol=1e-5)
+    g_f = jax.grad(loss_fused)(net)
+    g_p = jax.grad(loss_plain)(net)
+    np.testing.assert_allclose(
+        np.asarray(g_f.latent.static_grid),
+        np.asarray(g_p.latent.static_grid), atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f.layers[0].weight),
+                               np.asarray(g_p.layers[0].weight),
+                               atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(g_f.input.fourier_matrix),
+        np.asarray(g_p.input.fourier_matrix), atol=2e-5, rtol=1e-3)
+
+
+def test_block_ray_permutation_roundtrip():
+    from fvsrn_tpu.ops.fused_dvr import block_ray_permutation
+    perm, inv = block_ray_permutation(64, 32, 16, 16)
+    assert perm.shape == (64 * 32,)
+    x = np.arange(64 * 32)
+    np.testing.assert_array_equal(x[perm][inv], x)
+    # first tile is the top-left 16x16 pixel block
+    idx = np.arange(32 * 64).reshape(32, 64)
+    np.testing.assert_array_equal(perm[:256].reshape(16, 16),
+                                  idx[:16, :16])
+
+
+def test_certify_subbox_covers_footprint():
+    """The certified sizes must cover every (tile, segment) footprint:
+    re-measure with margin=0 and check certify's result dominates."""
+    from fvsrn_tpu.ops.fused_dvr import certify_subbox
+    net, tf, rs, rd = _scene(True)
+    sz = certify_subbox(rs, rd, (8, 8, 8), (-0.5, -0.5, -0.5),
+                        (1.0, 1.0, 1.0), stepsize=1 / 64,
+                        max_steps=128, seg=16, tile=64)
+    raw = certify_subbox(rs, rd, (8, 8, 8), (-0.5, -0.5, -0.5),
+                         (1.0, 1.0, 1.0), stepsize=1 / 64,
+                         max_steps=128, seg=16, tile=64, margin=0)
+    assert all(a >= b for a, b in zip(sz, raw))
+    assert all(1 <= v <= 9 for v in sz)
+
+
 def test_window_table_matches_neighborhood_table(rng):
     """Round-2 groundwork: one 27-corner window row + in-window sub-cube
     selection reproduces the per-sample 8-corner neighborhood rows for
@@ -283,3 +359,150 @@ def test_window_table_matches_neighborhood_table(rng):
         jnp.asarray(wrows),
         jnp.asarray(offsets.reshape(-1, 3)[:, ::-1].copy())))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_normals_match_plain_adjoint():
+    """In-kernel adjoint normal sweep (analytic latent position grads) vs
+    the plain oracle's jax.grad normal, plus blended normal/depth outputs
+    (the MXU analogue of renderer_volume_tensorcores.cuh:1202-1450)."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    vol = VolumeInterpolationNetwork.make(net)
+    cfg = RayEvaluationSteppingDvr.make(
+        stepsize=stepsize, enable_early_out=False, need_normals=True)
+    ref = trace_dvr(rs, rd, vol, tf, cfg, steps)
+    got = fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, need_normals=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.color),
+                               np.asarray(ref.color), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.normal),
+                               np.asarray(ref.normal), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.depth),
+                               np.asarray(ref.depth), atol=1e-4)
+    # scene must actually produce normals
+    assert np.abs(np.asarray(ref.normal)).max() > 0.1
+
+
+def test_fused_shaded_dvr_matches_plain():
+    """Fused Blinn-Phong + magnitude-scaling shading vs the plain path
+    (reference: renderer_brdf_lambert.cuh:55-105)."""
+    from fvsrn_tpu.brdf import BRDFLambert
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    brdf = BRDFLambert.make(enable_phong=True, ambient=0.2, specular=0.3,
+                            magnitude_center=0.02, magnitude_radius=0.02,
+                            light=(0.3, -0.5, -1.0))
+    vol = VolumeInterpolationNetwork.make(net)
+    cfg = RayEvaluationSteppingDvr.make(
+        stepsize=stepsize, enable_early_out=False, need_normals=True)
+    ref = trace_dvr(rs, rd, vol, tf, cfg, steps, brdf=brdf)
+    got = fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, need_normals=True, brdf=brdf,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got.color),
+                               np.asarray(ref.color), atol=2e-4)
+    # shading must change the image vs unshaded
+    unshaded = fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, interpret=True)
+    assert np.abs(np.asarray(got.color) - np.asarray(unshaded)).max() > 1e-3
+
+
+def test_fused_subbox_normals():
+    """Normal sweep through the sub-box latent path."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    vol = VolumeInterpolationNetwork.make(net)
+    cfg = RayEvaluationSteppingDvr.make(
+        stepsize=stepsize, enable_early_out=False, need_normals=True)
+    ref = trace_dvr(rs, rd, vol, tf, cfg, steps)
+    got = fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, need_normals=True, subbox="auto",
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got.normal),
+                               np.asarray(ref.normal), atol=5e-4)
+
+
+@pytest.mark.parametrize("output_mode", ["rgbo", "rgbo:direct", "rgbo:exp"])
+def test_fused_rgbo_matches_plain(output_mode):
+    """rgbo networks: TF-skipping color-field path
+    (reference: renderer_volume_tensorcores.cuh:1041-1161 output heads +
+    SKIP_TRANSFER_FUNCTION blending)."""
+    net, tf, rs, rd = _scene(True, output_mode=output_mode)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain(net, tf, rs, rd, stepsize, steps, False))
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    assert ref[:, 3].max() > 0.1
+
+
+def test_fused_direction_input_matches_plain():
+    """Direction-input networks (fourier carries a direction block)
+    (reference: renderer_volume_tensorcores.cuh:768-808)."""
+    rng = np.random.default_rng(11)
+    latent = LatentSpace(static_grid=jnp.asarray(
+        (rng.standard_normal((8, 8, 8, 8)) * 0.3).astype(np.float32)))
+    net = SceneRepresentationNetwork.make(
+        layers="32:32", activation="SnakeAlt:2", num_fourier=6,
+        output_mode="density:direct", latent=latent, seed=11,
+        use_direction=True, disable_direction_in_fourier=False)
+    _, tf, rs, rd = _scene(False)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain(net, tf, rs, rd, stepsize, steps, False))
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_direction_gradients():
+    """Differentiable fused path with direction input: d w1_dir and
+    d fourier_dir vs jax.grad of the plain oracle."""
+    rng = np.random.default_rng(12)
+    latent = LatentSpace(static_grid=jnp.asarray(
+        (rng.standard_normal((8, 8, 8, 8)) * 0.3).astype(np.float32)))
+    net = SceneRepresentationNetwork.make(
+        layers="32:32", activation="SnakeAlt:2", num_fourier=6,
+        output_mode="density:direct", latent=latent, seed=12,
+        use_direction=True, disable_direction_in_fourier=False)
+    _, tf, rs, rd = _scene(False)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(3).random((rs.shape[0], 4)).astype(np.float32)
+
+    def loss_fused(net):
+        c = fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+            enable_early_out=False, differentiable=True, interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net):
+        out = _plain(net, tf, rs, rd, stepsize, steps, False)
+        return jnp.mean((out - tgt) ** 2)
+
+    g_f = jax.grad(loss_fused)(net)
+    g_p = jax.grad(loss_plain)(net)
+    # first-layer weight covers pos+dir+fourier blocks
+    np.testing.assert_allclose(np.asarray(g_f.layers[0].weight),
+                               np.asarray(g_p.layers[0].weight),
+                               atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(g_f.input.fourier_matrix),
+        np.asarray(g_p.input.fourier_matrix), atol=2e-5, rtol=1e-3)
