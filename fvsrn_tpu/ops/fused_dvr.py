@@ -300,6 +300,146 @@ def certify_subbox(ray_start, ray_dir, grid_sizes, box_min, box_size, *,
     return int(sz[0]), int(sz[1]), int(sz[2])
 
 
+class BoxfeatSpec(NamedTuple):
+    """Static shape of the boxfeat latent path (see ``certify_boxfeat``).
+
+    Corner counts per axis of the certified per-(ray-tile, segment)
+    latent-grid footprint under LATTICE-aligned sampling, plus the
+    gathered x-window width (in 8-corner blocks) and the lattice
+    segment-count bound.
+    """
+    szxc: int   # corners along x (resolved on the lane axis)
+    szyc: int   # corners along y
+    szzc: int   # corners along z
+    nxb: int    # x-window width in blocks of 8 corners (lane rows)
+    n_seg: int  # segments needed: ceil(max tile k-span / seg)
+
+    @property
+    def szycp(self) -> int:
+        """(z, y)-corner rows per x-block, padded to the sublane tile."""
+        return ((self.szyc * self.szzc + 7) // 8) * 8
+
+
+def certify_boxfeat(ray_start, ray_dir, grid_sizes, box_min, box_size, *,
+                    stepsize: float, max_steps: int, seg: int, tile: int,
+                    margin: int = 2) -> BoxfeatSpec:
+    """Certify the boxfeat latent path for a concrete ray set.
+
+    Measures the per-(ray-tile, segment) latent-grid cell footprint under
+    lattice-aligned sampling (t = k*stepsize, tile-uniform segment base
+    K0 = min_ray ceil(tmin/h)) via the endpoint bound: positions are
+    monotone in t per axis, so a ray's per-segment extent is attained at
+    its clamped endpoints, and rays with no valid sample in a segment
+    contribute nothing. Returns corner counts (+1 corner, +``margin``
+    cells: one for the runtime base back-off, one for float divergence
+    between this replay and the kernel's position math).
+
+    The occupancy-calculator analog for this path (reference:
+    volume_interpolation_network.cpp:987-1040 computeMaxWarps): a
+    host-side pre-pass that sizes the kernel's on-chip working set.
+    Requires concrete (non-traced) rays. O(rays * n_seg) -- endpoints
+    only, no per-sample replay.
+    """
+    rs = np.asarray(ray_start, np.float32)
+    rd = np.asarray(ray_dir, np.float32)
+    bmin = np.asarray(box_min, np.float32)
+    bsize = np.asarray(box_size, np.float32)
+    res = np.asarray(grid_sizes, np.int64)          # (x, y, z)
+    h = np.float32(stepsize)
+    r_total = rs.shape[0]
+    n_tiles = r_total // tile
+    inv = 1.0 / np.where(rd == 0, 1e-12, rd)
+    t0 = (bmin - rs) * inv
+    t1 = (bmin + bsize - rs) * inv
+    tmin = np.maximum(np.minimum(t0, t1).max(axis=1), 0.0).astype(np.float32)
+    tmax = np.maximum(t0, t1).min(axis=1).astype(np.float32)
+    k0 = np.ceil(tmin / h)
+    k0t = k0.reshape(n_tiles, tile).min(axis=1)
+    k1 = np.floor(tmax / h)
+    span = k1.reshape(n_tiles, tile).max(axis=1) - k0t + 1
+    n_seg = max(1, int(np.ceil(max(float(span.max()), 1.0) / seg)))
+
+    base_k = np.repeat(k0t, tile)
+    ext_max = np.ones(3, np.int64)
+    for s in range(n_seg):
+        ta = np.maximum(k0, base_k + s * seg) * h
+        tb = np.minimum(tmax, (base_k + (s * seg + seg - 1)) * h)
+        alive = ta <= tb
+        bs_ = []
+        for t in (ta, tb):
+            pos = rs + rd * t[:, None]
+            v = (pos - bmin) / bsize * res - 0.5
+            bs_.append(np.clip(np.floor(v).astype(np.int64) + 1, 0, res))
+        blo = np.where(alive[:, None], np.minimum(*bs_), 10 ** 6)
+        bhi = np.where(alive[:, None], np.maximum(*bs_), -10 ** 6)
+        ext = (bhi.reshape(n_tiles, tile, 3).max(axis=1)
+               - blo.reshape(n_tiles, tile, 3).min(axis=1) + 1)
+        ext_max = np.maximum(ext_max, ext.max(axis=0))
+    sz = np.minimum(ext_max + margin, res + 1)      # cells incl. margin
+    szxc = int(sz[0]) + 1                           # corners
+    szyc = int(sz[1]) + 1
+    szzc = int(sz[2]) + 1
+    nxb = (szxc + 7 + 7) // 8                       # worst base%8 == 7
+    nxb = min(nxb, (int(res[0]) + 2 + 7) // 8)
+    return BoxfeatSpec(szxc, szyc, szzc, nxb, n_seg)
+
+
+def build_boxfeat_grid(grid: Array, nxb_tot: int) -> Array:
+    """Padded raw-value latent grid in gather-row layout for boxfeat.
+
+    grid: (C, D, H, W), C <= 16 (zero-padded to 16). Returns
+    ((D+2)*(H+2)*nxb_tot, 128) where row ((z*(H+2))+y)*nxb_tot + xb
+    holds corners x = xb*8 .. xb*8+7 (16 channels each, lane =
+    xlocal*16 + c) of the edge-clamp-padded grid P[i] =
+    G[clip(i-1, 0, n-1)] -- so cell b's corners live at padded coords
+    b and b+1 and border-clamp trilerp falls out of the padding (same
+    convention as :func:`build_neighborhood_table`). x beyond W+2 is
+    zero and never carries trilerp weight. Built with jnp ops only, so
+    gradients flow back to ``grid`` under AD.
+    """
+    grid = jnp.asarray(grid)
+    c, d, hh, w = grid.shape
+    assert c <= 16, "boxfeat grid supports <= 16 latent channels"
+    if c < 16:
+        grid = jnp.concatenate(
+            [grid, jnp.zeros((16 - c, d, hh, w), grid.dtype)], axis=0)
+    p = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (1, 1)), mode="edge")
+    xpad = nxb_tot * 8 - (w + 2)
+    if xpad > 0:
+        p = jnp.pad(p, ((0, 0), (0, 0), (0, 0), (0, xpad)))
+    t = p.transpose(1, 2, 3, 0)                 # (D+2, H+2, X, 16)
+    return t.reshape((d + 2) * (hh + 2) * nxb_tot, 128)
+
+
+def _boxfeat_row_offsets(spec: BoxfeatSpec):
+    """Static per-part (oz, oy) corner offsets of the gather rows,
+    parts (x-blocks) contiguous: row r of part p covers corner
+    (base_z + oz[r], base_y + oy[r], x-block xb0 + p); pad rows
+    (r >= szzc*szyc) repeat offset (0, 0) and carry zero trilerp
+    weight by construction."""
+    szycp = spec.szycp
+    r = np.arange(szycp, dtype=np.int64)
+    live = r < spec.szzc * spec.szyc
+    oz = np.where(live, r // spec.szyc, 0)
+    oy = np.where(live, r % spec.szyc, 0)
+    return oz.astype(np.int32), oy.astype(np.int32)
+
+
+class BoxfeatAux(NamedTuple):
+    """In-kernel intermediates of the boxfeat resolve reused by the
+    adjoint and the normal sweep."""
+    lat_parts: tuple   # nxb x (SZYCP, 128) table slices (f32)
+    m1: tuple          # nxb x (128, N) per-part contraction results
+    wzy: Array         # (SZYCP, N) Khatri-Rao (z, y) corner weights
+    wx: Array          # (KX, N) x corner weights, KX = nxb*8
+    lx: Array          # (1, N) local x corner index (float)
+    fx: Array          # (1, N) x fraction
+    ly: Array          # (1, N) local y corner index
+    fy: Array
+    lz: Array          # (1, N) local z corner index
+    fz: Array
+
+
 def _apply_act(name: str, x: Array, p: float) -> Array:
     if name not in ("ReLU", "None") and x.dtype == jnp.bfloat16:
         # Mosaic has no bf16 transcendentals; evaluate them in f32
@@ -410,7 +550,8 @@ def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
 def _mlp_position_grad_T(pack, dv_dy, x, rows_t, fourier, w1pos, w1cos,
                          w1sin, w1lat, hw, w_out,
                          *, activation, act_param, grid_sizes,
-                         has_latent_table, compute_dtype):
+                         has_latent_table, compute_dtype,
+                         latent_boxfeat=()):
     """In-kernel d(value)/d(pos01): the MXU analogue of the reference's
     transposed-weight wmma adjoint normal
     (renderer_volume_tensorcores.cuh:1202-1450) with ANALYTIC latent-grid
@@ -452,6 +593,61 @@ def _mlp_position_grad_T(pack, dv_dy, x, rows_t, fourier, w1pos, w1cos,
             mm(ones, g * wgx) * float(grid_sizes[0]),
             mm(ones, g * wgy) * float(grid_sizes[1]),
             mm(ones, g * wgz) * float(grid_sizes[2]),
+        ], axis=0)
+    if latent_boxfeat:
+        # boxfeat latent position gradient: the trilerp weight
+        # factorizes per axis, so d feat / d frac_axis reuses the
+        # per-part contractions with one axis' lerp factor replaced by
+        # its +-1 sign (x: reuse m1; y/z: one extra matmul per part)
+        aux: BoxfeatAux = rows_t
+        szxc, szyc, szzc, nxb, szycp = latent_boxfeat
+        n = x.shape[1]
+        f32 = jnp.float32
+        dlatf = mm(w1lat.T, dpre1)                  # (16, N)
+
+        def xfold(mlist, wvec):
+            acc = jnp.zeros((16, n), f32)
+            for p_ in range(nxb):
+                for rr in range(8):
+                    acc = acc + mlist[p_][rr * 16:(rr + 1) * 16, :] \
+                        * wvec[p_ * 8 + rr:p_ * 8 + rr + 1, :]
+            return acc
+
+        iox = jax.lax.broadcasted_iota(jnp.int32, (nxb * 8, n),
+                                       0).astype(f32)
+        wxg = jnp.where(iox == aux.lx, -1.0, 0.0) \
+            + jnp.where(iox == aux.lx + 1.0, 1.0, 0.0)
+        dffx = xfold(aux.m1, wxg)
+
+        iozy = jax.lax.broadcasted_iota(jnp.int32, (szycp, n),
+                                        0).astype(f32)
+        wz2 = (1.0 - aux.fz, aux.fz)
+        wy2 = (1.0 - aux.fy, aux.fy)
+        sgn = (-1.0, 1.0)
+        wzy_dy = jnp.zeros((szycp, n), f32)
+        wzy_dz = jnp.zeros((szycp, n), f32)
+        for dz in (0, 1):
+            for dy in (0, 1):
+                r = (aux.lz + float(dz)) * float(szyc) \
+                    + (aux.ly + float(dy))
+                hit = iozy == r
+                wzy_dy = wzy_dy + jnp.where(hit, wz2[dz] * sgn[dy], 0.0)
+                wzy_dz = wzy_dz + jnp.where(hit, sgn[dz] * wy2[dy], 0.0)
+        m2 = [jax.lax.dot_general(aux.lat_parts[p_], wzy_dy,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+              for p_ in range(nxb)]
+        m3 = [jax.lax.dot_general(aux.lat_parts[p_], wzy_dz,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+              for p_ in range(nxb)]
+        dffy = xfold(m2, aux.wx)
+        dffz = xfold(m3, aux.wx)
+        ones16 = jnp.ones((1, 16), f32)
+        dx += jnp.concatenate([
+            mm(ones16, dlatf * dffx) * float(grid_sizes[0]),
+            mm(ones16, dlatf * dffy) * float(grid_sizes[1]),
+            mm(ones16, dlatf * dffz) * float(grid_sizes[2]),
         ], axis=0)
     return dx
 
@@ -503,14 +699,91 @@ def _subbox_onehot(lrow_ref, sz3p: int, n: int, dtype):
     return (iot == lrow).astype(dtype)
 
 
+def _boxfeat_features(x, lat_ref, base_ref, *, spec_t, grid_sizes):
+    """Factorized raw-grid trilerp: the boxfeat in-kernel resolve.
+
+    The TPU answer to the reference's 3D-texture latent fetch
+    (renderer_volume_tensorcores.cuh:839-948), v2: instead of resolving
+    per-sample 128-lane corner rows with a one-hot MXU contraction
+    (sz3p x 128 x N MACs + a sz3p x N one-hot build), exploit that the
+    trilerp weight factorizes per axis: build tiny per-axis corner
+    weight vectors, Khatri-Rao the (z, y) pair into a (SZYCP, N)
+    matrix (4 select-fma passes), contract it against each gathered
+    x-block of raw values (nxb matmuls of 128 x SZYCP x N), and fold
+    the x weights in with a cheap 8-slice weighted block-sum. Emits
+    interpolated (16, N) features directly -- no corner-row
+    materialization, no 8x-tiled first-layer block.
+
+    x: (3, N) positions in [0,1]^3. lat_ref: (nxb*SZYCP, 128) gathered
+    sub-box rows. base_ref: SMEM (1, 1, 4) f32 [base_y, base_z, xb0, K0].
+    Returns (feat (16, N) f32, BoxfeatAux).
+    """
+    szxc, szyc, szzc, nxb, szycp = spec_t
+    gx, gy, gz = grid_sizes
+    n = x.shape[1]
+    f32 = jnp.float32
+    base_y = base_ref[0, 0, 0]
+    base_z = base_ref[0, 0, 1]
+    xb0 = base_ref[0, 0, 2]
+
+    def axis(vcomp, res):
+        v = vcomp * float(res) - 0.5
+        fl = jnp.floor(v)
+        b = jnp.clip(fl + 1.0, 0.0, float(res))
+        return b, v - fl                       # (1, N) each
+
+    bx, fx = axis(x[0:1], gx)
+    by, fy = axis(x[1:2], gy)
+    bz, fz = axis(x[2:3], gz)
+    # local corner indices; invalid (masked) samples clamp into the box
+    kx = nxb * 8
+    lx = jnp.clip(bx - 8.0 * xb0, 0.0, float(kx - 2))
+    ly = jnp.clip(by - base_y, 0.0, float(szyc - 2))
+    lz = jnp.clip(bz - base_z, 0.0, float(szzc - 2))
+
+    # i32 iota (Mosaic has no float iota), cast for the f32 compares
+    iox = jax.lax.broadcasted_iota(jnp.int32, (kx, n), 0).astype(f32)
+    wx = jnp.where(iox == lx, 1.0 - fx, 0.0) \
+        + jnp.where(iox == lx + 1.0, fx, 0.0)          # (KX, N)
+    iozy = jax.lax.broadcasted_iota(jnp.int32, (szycp, n),
+                                    0).astype(f32)
+    wz2 = (1.0 - fz, fz)
+    wy2 = (1.0 - fy, fy)
+    wzy = jnp.zeros((szycp, n), f32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            r = (lz + float(dz)) * float(szyc) + (ly + float(dy))
+            wzy = wzy + jnp.where(iozy == r, wz2[dz] * wy2[dy], 0.0)
+
+    lat_parts = []
+    m1 = []
+    for p_ in range(nxb):
+        part = lat_ref[p_ * szycp:(p_ + 1) * szycp, :].astype(f32)
+        lat_parts.append(part)
+        m1.append(jax.lax.dot_general(
+            part, wzy, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32))               # (128, N)
+    feat = jnp.zeros((16, n), f32)
+    for p_ in range(nxb):
+        for rr in range(8):
+            feat = feat + m1[p_][rr * 16:(rr + 1) * 16, :] \
+                * wx[p_ * 8 + rr:p_ * 8 + rr + 1, :]
+    aux = BoxfeatAux(tuple(lat_parts), tuple(m1), wzy, wx,
+                     lx, fx, ly, fy, lz, fz)
+    return feat, aux
+
+
 def _latent_features(x, lat_ref, lrow_ref, *, has_latent, latent_table,
-                     latent_subbox, grid_sizes, compute_dtype):
+                     latent_subbox, grid_sizes, compute_dtype,
+                     latent_boxfeat=(), base_ref=None):
     """Per-sample latent features in transposed layout.
 
     Returns (lat, wrep, onehot, rows_t): lat is (128, N) corner-weighted
-    neighborhood rows (table modes) or (CL, N) trilerped features;
-    wrep/onehot/rows_t (the unweighted per-sample rows) are the reusable
-    intermediates for the adjoint and the normal sweep.
+    neighborhood rows (table modes), (16, N) interpolated features
+    (boxfeat mode; rows_t then carries the BoxfeatAux), or (CL, N)
+    trilerped features; wrep/onehot/rows_t (the unweighted per-sample
+    rows) are the reusable intermediates for the adjoint and the normal
+    sweep.
 
     Sub-box mode is the TPU answer to the reference's 3D-texture latent
     fetch (renderer_volume_tensorcores.cuh:839-948): the caller gathers
@@ -522,6 +795,11 @@ def _latent_features(x, lat_ref, lrow_ref, *, has_latent, latent_table,
     """
     if not has_latent:
         return None, None, None, None
+    if latent_boxfeat:
+        feat, aux = _boxfeat_features(x, lat_ref, base_ref,
+                                      spec_t=latent_boxfeat,
+                                      grid_sizes=grid_sizes)
+        return feat, None, None, aux
     if latent_subbox:
         sz3p = latent_subbox[3]
         n = x.shape[1]
@@ -552,6 +830,7 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
                     stepsize: float, early_alpha: float,
                     box_min: tuple, box_size: tuple,
                     compute_dtype, latent_subbox: tuple = (),
+                    latent_boxfeat: tuple = (),
                     has_direction: bool = False,
                     need_normals: bool = False,
                     brdf: tuple = ()):
@@ -572,11 +851,16 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
     renderer_brdf_lambert.cuh:55-105). rgbo output modes skip the TF
     (reference: RAY_EVALUATION_STEPPING__SKIP_TRANSFER_FUNCTION).
     """
+    lrow_ref = None
+    base_ref = None
     if latent_subbox:
         lrow_ref = refs[0]
         refs = refs[1:]
-    else:
-        lrow_ref = None
+    elif latent_boxfeat:
+        # SMEM (1, 1, 4) f32 per-(tile, segment) scalars:
+        # [base_y, base_z, xb0, K0] (see _segment_boxfeat)
+        base_ref = refs[0]
+        refs = refs[1:]
     carry_ref = refs[0]
     (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref, w1cos_ref, w1sin_ref,
      w1lat_ref, b1_ref) = refs[1:9]
@@ -591,12 +875,22 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
 
     s = s_ref[0, 0].astype(jnp.float32)
     rays = rays_ref[:]                         # (8, tile)
-    tmin = rays[6:7, :]                        # (1, tile)
-    tmax = rays[7:8, :]
+    tmin = rays[6:7, :]                        # (1, tile); k0_ray in
+    tmax = rays[7:8, :]                        # boxfeat (lattice) mode
     # t per step, tiled over the segment: (1, N), N-major = j*tile + ray
-    tval = jnp.concatenate(
-        [tmin + (jnp.float32((jj)) + s * seg) * stepsize
-         for jj in range(seg)], axis=1)        # (1, N)
+    if latent_boxfeat:
+        # lattice-aligned sampling: t = k*h on the GLOBAL step lattice,
+        # k counted from the tile-uniform base K0 -- the spatial
+        # coherence that certifies the per-(tile, segment) sub-box
+        k0 = base_ref[0, 0, 3]
+        kk = jnp.concatenate(
+            [tmin * 0.0 + (k0 + s * seg + jnp.float32(jj))
+             for jj in range(seg)], axis=1)    # (1, N) integer-valued
+        tval = kk * stepsize
+    else:
+        tval = jnp.concatenate(
+            [tmin + (jnp.float32((jj)) + s * seg) * stepsize
+             for jj in range(seg)], axis=1)    # (1, N)
     # world positions -> [0,1]^3 volume coords, channel-by-channel
     xs = []
     ds = []
@@ -610,7 +904,8 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
     lat, _, _, rows_t = _latent_features(
         x, lat_ref, lrow_ref, has_latent=has_latent,
         latent_table=latent_table, latent_subbox=latent_subbox,
-        grid_sizes=grid_sizes, compute_dtype=compute_dtype)
+        grid_sizes=grid_sizes, compute_dtype=compute_dtype,
+        latent_boxfeat=latent_boxfeat, base_ref=base_ref)
     value, dv_dy, pack = _mlp_forward_T(
         x, dirs, lat, fourier_ref[:],
         fdir_ref[:] if has_direction else None, w1pos_ref[:],
@@ -634,7 +929,8 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
             grid_sizes=grid_sizes,
             has_latent_table=has_latent and (latent_table
                                              or bool(latent_subbox)),
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            latent_boxfeat=(latent_boxfeat if has_latent else ()))
         # world-space density gradient (pos01 = (x_w - bmin)/bsize).
         # Row extraction via a one-hot selector matmul: Mosaic cannot
         # reshape a sliced row of a (3, N) vector ("unsupported shape
@@ -650,6 +946,11 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
     carry = carry_ref[:]                       # (8|16, tile)
     tval2 = tval.reshape(seg, tile)
     valid = tval2 <= tmax                      # (1, tile) broadcasts
+    if latent_boxfeat:
+        # lattice mode: also mask lattice points before the ray's own
+        # first step k0_ray (carried in the tmin packet row); integer
+        # compare in f32, exact below 2^24
+        valid = valid & (kk.reshape(seg, tile) >= tmin)
 
     inv_range = 1.0 / (density_max - density_min)
     if rgbo:
@@ -852,7 +1153,23 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     per-segment rematerialization); the default runs a while_loop that
     stops once every ray saturated or left the box.
 
-    ``subbox`` activates the sub-box latent path: per (ray-tile, segment)
+    ``latent_mode="boxfeat"`` is the fast latent path (v2): sampling
+    switches to the global step LATTICE (t = k*stepsize, first sample
+    at ceil(tmin/h) -- a sub-step phase shift vs the reference's
+    per-ray start; compare against ``trace_dvr(..., lattice=True)``),
+    which makes a coherent pixel-block ray tile span only a few latent
+    cells per (tile, segment). The gather then fetches one small raw-
+    value sub-box per (tile, segment) and the kernel resolves the
+    trilerp with factorized per-axis weights (one small matmul per
+    x-block + a weighted block-sum; see :func:`_boxfeat_features`),
+    emitting interpolated features directly. The backward emits dense
+    per-tile sub-box gradients (tiny scatter). ``subbox`` then carries
+    the static :class:`BoxfeatSpec` (or ``"auto"``/0 to certify from
+    concrete rays via :func:`certify_boxfeat`). REQUIRES spatially
+    coherent ray tiles (``block_ray_permutation``).
+
+    ``subbox`` (with ``latent_mode="table"``) activates the one-hot
+    sub-box latent path (v1): per (ray-tile, segment)
     the latent gather fetches ONE small (szx, szy, szz) corner sub-box
     instead of a 128-lane row per sample, and the kernel resolves rows
     in-VMEM with a one-hot MXU contraction (see ``_latent_features``).
@@ -896,21 +1213,34 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     latent_grid = net.latent.static_grid if has_latent else None
     cl = weights.w1_lat.shape[1] if has_latent else 8
     use_table = has_latent and latent_mode == "table" and cl <= 16
+    use_boxfeat = has_latent and latent_mode == "boxfeat" and cl <= 16
     grid_sizes = (1, 1, 1)
     table = None
-    if use_table:
+    p6 = None
+    nxb_tot = 1
+    if use_table or use_boxfeat:
         latent_grid = jnp.asarray(latent_grid, jnp.float32)
         _, gd, gh, gw = latent_grid.shape
         grid_sizes = (gw, gh, gd)  # (x, y, z) voxel counts
-        table = build_neighborhood_table(latent_grid).astype(table_dtype)
-        # first-layer latent block tiled over the 8 corner slots,
-        # channels zero-padded to 16: (H, 128)
         w1l = weights.w1_lat
         if cl < 16:
             w1l = jnp.concatenate(
                 [w1l, jnp.zeros((w1l.shape[0], 16 - cl), w1l.dtype)],
                 axis=1)
-        weights = weights._replace(w1_lat=jnp.tile(w1l, (1, 8)))
+        if use_table:
+            table = build_neighborhood_table(latent_grid).astype(
+                table_dtype)
+            # first-layer latent block tiled over the 8 corner slots,
+            # channels zero-padded to 16: (H, 128)
+            weights = weights._replace(w1_lat=jnp.tile(w1l, (1, 8)))
+        else:
+            # boxfeat: raw-value padded grid; the kernel emits
+            # interpolated (16, N) features, so the first-layer latent
+            # block stays (H, 16)
+            nxb_tot = (gw + 2 + 7) // 8
+            p6 = build_boxfeat_grid(latent_grid, nxb_tot).astype(
+                table_dtype)
+            weights = weights._replace(w1_lat=w1l)
 
     n_seg = (max_steps + seg - 1) // seg
     n_tiles = r_total // tile
@@ -944,6 +1274,23 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         sub_offsets = (jnp.asarray(lx, jnp.int32),
                        jnp.asarray(ly, jnp.int32),
                        jnp.asarray(lz, jnp.int32))
+
+    # resolve the boxfeat latent mode: certify (or accept) the static
+    # footprint spec, switch to lattice-aligned sampling
+    boxfeat_t = ()
+    bf_offsets = None
+    if use_boxfeat:
+        if isinstance(subbox, BoxfeatSpec):
+            bf_spec = subbox
+        else:
+            bf_spec = certify_boxfeat(
+                ray_start, ray_dir, grid_sizes, box_min, box_size,
+                stepsize=stepsize, max_steps=max_steps, seg=seg,
+                tile=tile)
+        boxfeat_t = (bf_spec.szxc, bf_spec.szyc, bf_spec.szzc,
+                     bf_spec.nxb, bf_spec.szycp)
+        bf_offsets = _boxfeat_row_offsets(bf_spec)
+        n_seg = bf_spec.n_seg
 
     rgbo = not net.output_mode.startswith("density")
     if differentiable and (need_normals or rgbo):
@@ -997,12 +1344,17 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         box_min=bmin_t, box_size=bsize_t,
         compute_dtype=compute_dtype,
         latent_subbox=subbox_t,
+        latent_boxfeat=boxfeat_t,
     )
     kernel = functools.partial(_segment_kernel, n_hidden=n_hidden,
                                **static_kwargs)
 
     wlist = _weight_list(weights, tf_pad)
-    if subbox_t:
+    if boxfeat_t:
+        bf_rows = boxfeat_t[3] * boxfeat_t[4]      # nxb * szycp
+        lat_spec = pl.BlockSpec((bf_rows, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    elif subbox_t:
         lat_spec = pl.BlockSpec((subbox_t[3], 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
     elif use_table:
@@ -1024,7 +1376,11 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         # per-sample local sub-box row index (n_tiles, 1, N)
         pl.BlockSpec((1, 1, n_samples), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-    ] if subbox_t else []) + [
+    ] if subbox_t else []) + ([
+        # boxfeat per-(tile, segment) scalars [base_y, base_z, xb0, K0]
+        pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ] if boxfeat_t else []) + [
         # carry (8|16, R)
         pl.BlockSpec((crows, tile), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
@@ -1047,8 +1403,16 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         interpret=interpret,
     )
 
-    rays_packet = jnp.concatenate(
-        [ray_start.T, ray_dir.T, tmin.T, tmax.T], axis=0)  # (8, R)
+    k0_ray = jnp.ceil(tmin / stepsize)       # (R, 1) first lattice step
+    k0t = k0_ray.reshape(n_tiles, tile).min(axis=1)  # (n_tiles,)
+    if boxfeat_t:
+        # lattice mode: the packet's tmin row carries k0_ray instead
+        # (the kernel's lower validity bound; t rebuilt from K0)
+        rays_packet = jnp.concatenate(
+            [ray_start.T, ray_dir.T, k0_ray.T, tmax.T], axis=0)
+    else:
+        rays_packet = jnp.concatenate(
+            [ray_start.T, ray_dir.T, tmin.T, tmax.T], axis=0)  # (8, R)
     rs_tiles = ray_start.reshape(n_tiles, 1, tile, 3)
     rd_tiles = ray_dir.reshape(n_tiles, 1, tile, 3)
     tmin_tiles = tmin.reshape(n_tiles, 1, tile)
@@ -1096,6 +1460,53 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
             + (base[:, 0:1] + ox[None, :])        # (n_tiles, SZ3P)
         return gr, lrow.reshape(n_tiles, 1, n_samples).astype(jnp.float32)
 
+    def _segment_boxfeat(s):
+        """Per-(tile, segment) sub-box gather rows + kernel scalars.
+
+        Endpoint bound (positions monotone in t per axis): the tile's
+        valid-sample footprint this segment is covered by the per-ray
+        clamped lattice endpoints; rays with no valid sample are
+        excluded. Base backs off one cell (clamped) as float-divergence
+        headroom; ``certify_boxfeat``'s margin pays for it.
+        """
+        szxc, szyc, szzc, nxb, szycp = boxfeat_t
+        gw_, gh_, gd_ = grid_sizes
+        sf = s.astype(dtype)
+        ka = k0t + sf * seg                       # (n_tiles,)
+        k0_t2 = k0_ray.reshape(n_tiles, tile)
+        tmax_t2 = tmax.reshape(n_tiles, tile)
+        ta = jnp.maximum(k0_t2, ka[:, None]) * stepsize
+        tb = jnp.minimum(tmax_t2, (ka[:, None] + (seg - 1)) * stepsize)
+        alive = ta <= tb
+        res_i = jnp.asarray(grid_sizes, jnp.int32)
+        res_f = jnp.asarray(grid_sizes, dtype)
+        rs3 = ray_start.reshape(n_tiles, tile, 3)
+        rd3 = ray_dir.reshape(n_tiles, tile, 3)
+        bs = []
+        for t in (ta, tb):
+            ps = rs3 + rd3 * t[..., None]
+            v = (ps - box_min) / box_size * res_f - 0.5
+            bs.append(jnp.clip(jnp.floor(v).astype(jnp.int32) + 1,
+                               0, res_i))
+        blo = jnp.where(alive[..., None], jnp.minimum(*bs),
+                        jnp.int32(10 ** 6)).min(axis=1)  # (n_tiles, 3)
+        base_x = jnp.maximum(blo[:, 0] - 1, 0)
+        xb0 = jnp.clip(base_x // 8, 0, nxb_tot - nxb)
+        base_y = jnp.clip(blo[:, 1] - 1, 0, gh_ + 2 - szyc)
+        base_z = jnp.clip(blo[:, 2] - 1, 0, gd_ + 2 - szzc)
+        oz, oy = bf_offsets                        # numpy (szycp,) each
+        rows_zy = (((base_z[:, None] + oz[None, :]) * (gh_ + 2)
+                    + (base_y[:, None] + oy[None, :])) * nxb_tot)
+        rows = rows_zy[:, None, :] + (
+            xb0[:, None, None]
+            + jnp.arange(nxb, dtype=jnp.int32)[None, :, None])
+        rows = rows.reshape(n_tiles, nxb * szycp)  # parts contiguous
+        base_pack = jnp.stack(
+            [base_y.astype(dtype), base_z.astype(dtype),
+             xb0.astype(dtype), k0t],
+            axis=1).reshape(n_tiles, 1, 4)         # f32 scalars
+        return rows, base_pack
+
     def _segment_latent(s):
         if use_table:
             row = _segment_rows(s)
@@ -1111,6 +1522,11 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
 
     def run_segment(s, carry):
         s_arr = jnp.reshape(s, (1, 1)).astype(jnp.float32)
+        if boxfeat_t:
+            rows, base_pack = _segment_boxfeat(s)
+            sub = p6.at[rows.reshape(-1)].get(mode="promise_in_bounds")
+            return call(s_arr, rays_packet, sub, base_pack, carry,
+                        *wlist)
         if subbox_t:
             gr, lrow = _segment_subbox(s)
             sub = table.at[gr.reshape(-1)].get(mode="promise_in_bounds")
@@ -1123,13 +1539,15 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
 
     if differentiable:
         from .fused_dvr_bwd import make_segment_op
-        if subbox_t:
+        if boxfeat_t:
+            lat_shape = (n_tiles * boxfeat_t[3] * boxfeat_t[4], 128)
+        elif subbox_t:
             lat_shape = (n_tiles * subbox_t[3], 128)
         elif use_table:
             lat_shape = (n_tiles * n_samples, 128)
         else:
             lat_shape = (n_tiles, cl, n_samples)
-        lat_dtype = table_dtype if use_table else dtype
+        lat_dtype = table_dtype if (use_table or use_boxfeat) else dtype
 
         # In-kernel run compaction of the latent-grid gradient scatter:
         # consecutive march steps share a base voxel, and for a
@@ -1159,10 +1577,24 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
             kernel_kwargs=static_kwargs, lat_shape=lat_shape,
             lat_dtype=lat_dtype, interpret=interpret,
             compact_slots=compact_slots,
-            table_shape=(None if table is None else table.shape),
+            table_shape=(p6.shape if boxfeat_t
+                         else None if table is None else table.shape),
             table_dtype=table_dtype)
 
-        if subbox_t:
+        if boxfeat_t:
+            p6_ng = jax.lax.stop_gradient(p6)
+
+            def body(carry, s):
+                rows, base_pack = _segment_boxfeat(s)
+                sub = p6_ng.at[rows.reshape(-1)].get(
+                    mode="promise_in_bounds")
+                # f32 row indices: custom-vjp inputs need float
+                # cotangents (rows < 2^24, exact in f32)
+                gr_f = rows.astype(jnp.float32)
+                s_arr = jnp.reshape(s, (1, 1)).astype(jnp.float32)
+                return seg_op(s_arr, rays_packet, sub, base_pack, gr_f,
+                              p6, carry, weights, tf_pad), None
+        elif subbox_t:
             table_ng = jax.lax.stop_gradient(table)
 
             def body(carry, s):
@@ -1204,8 +1636,13 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     else:
         def cond(state):
             s, carry = state
-            done_t = tmin[:, 0] + s.astype(dtype) * seg * stepsize \
-                > tmax[:, 0]
+            if boxfeat_t:
+                k0r = jnp.repeat(k0t, tile)
+                done_t = (k0r + s.astype(dtype) * seg) * stepsize \
+                    > tmax[:, 0]
+            else:
+                done_t = tmin[:, 0] + s.astype(dtype) * seg * stepsize \
+                    > tmax[:, 0]
             if enable_early_out:
                 alive = ~(done_t | (carry[3, :] >= alpha_early_out))
             else:

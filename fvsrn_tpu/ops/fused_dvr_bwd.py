@@ -50,6 +50,7 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
                         box_min: tuple, box_size: tuple,
                         compute_dtype, compact_slots: int = 0,
                         latent_subbox: tuple = (),
+                        latent_boxfeat: tuple = (),
                         has_direction: bool = False,
                         need_normals: bool = False,
                         brdf: tuple = ()):
@@ -66,8 +67,12 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     programs.
     """
     lrow_ref = None
+    base_ref = None
     if latent_subbox:
         lrow_ref = refs[0]
+        refs = refs[1:]
+    elif latent_boxfeat:
+        base_ref = refs[0]                 # SMEM (1, 1, 4) f32 scalars
         refs = refs[1:]
     if compact_slots:
         rows_ref = refs[0]
@@ -119,11 +124,20 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     # ---------------- forward replay ----------------
     s = s_ref[0, 0].astype(f32)
     rays = rays_ref[:]
-    tmin = rays[6:7, :]
+    tmin = rays[6:7, :]                        # k0_ray in boxfeat mode
     tmax = rays[7:8, :]
-    tval = jnp.concatenate(
-        [tmin + (jnp.float32(jj) + s * seg) * stepsize
-         for jj in range(seg)], axis=1)
+    if latent_boxfeat:
+        # lattice-aligned replay (must mirror the forward kernel)
+        k0 = base_ref[0, 0, 3]
+        kk = jnp.concatenate(
+            [tmin * 0.0 + (k0 + s * seg + jnp.float32(jj))
+             for jj in range(seg)], axis=1)
+        tval = kk * stepsize
+    else:
+        kk = None
+        tval = jnp.concatenate(
+            [tmin + (jnp.float32(jj) + s * seg) * stepsize
+             for jj in range(seg)], axis=1)
     xs = []
     ds = []
     for c in range(3):
@@ -135,10 +149,11 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     dirs = jnp.concatenate(ds, axis=0) if has_direction else None
     n = x.shape[1]
 
-    lat, wrep, oh, _rows_t = _latent_features(
+    lat, wrep, oh, bf_aux = _latent_features(
         x, lat_ref, lrow_ref, has_latent=has_latent,
         latent_table=latent_table, latent_subbox=latent_subbox,
-        grid_sizes=grid_sizes, compute_dtype=compute_dtype)
+        grid_sizes=grid_sizes, compute_dtype=compute_dtype,
+        latent_boxfeat=latent_boxfeat, base_ref=base_ref)
 
     fr = mm(fourier_ref[:], x)                 # (F, N)
     if has_direction:
@@ -198,6 +213,9 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     for j in range(seg):
         sl = (slice(None), slice(j * tile, (j + 1) * tile))
         valid = (tval[sl] <= tmax) & (alpha < early_alpha)
+        if latent_boxfeat:
+            # lattice lower bound: no samples before the ray's k0
+            valid = valid & (kk[sl] >= tmin)
         require = valid & (value[sl] >= density_min)
         absn = jnp.where(require, absorption[sl], 0.0)
         if blend_beer:
@@ -323,8 +341,27 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         dfdir_ref[:] += mm_ct(d_f, dirs)
     if has_latent:
         dw1lat_ref[:] += mm_ct(dpre1, lat)
-        d_lat = mm(w1lat_ref[:].T, dpre1)      # (128|CL, N)
-        if latent_subbox:
+        d_lat = mm(w1lat_ref[:].T, dpre1)      # (128|16|CL, N)
+        if latent_boxfeat:
+            # dense per-(tile, segment) sub-box gradient via the
+            # factorized trilerp transpose: expand d_feat (16, N) with
+            # the x corner weights into per-part (128, N) cotangents,
+            # contract the sample axis against the Khatri-Rao (z, y)
+            # weights -> (SZYCP, 128) per x-block. Pad rows carry zero
+            # weight, so the XLA scatter of repeated pad indices is
+            # exact.
+            szycp = latent_boxfeat[4]
+            nxb = latent_boxfeat[3]
+            for p_ in range(nxb):
+                dm1 = jnp.concatenate(
+                    [bf_aux.wx[p_ * 8 + rr:p_ * 8 + rr + 1, :] * d_lat
+                     for rr in range(8)], axis=0)          # (128, N)
+                dbp = jax.lax.dot_general(
+                    bf_aux.wzy, dm1, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)            # (SZYCP, 128)
+                dlat_ref[p_ * szycp:(p_ + 1) * szycp, :] = \
+                    dbp.astype(dlat_ref.dtype)
+        elif latent_subbox:
             # dense per-tile sub-box gradient: the transposed one-hot
             # contraction folds the per-sample scatter rows into
             # (SZ3P, 128) on the MXU -- replaces both the slot
@@ -398,6 +435,8 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
     gradient scattered at the float-encoded global rows ``gr_f``."""
     dtype = jnp.float32
     subbox = tuple(kernel_kwargs.get("latent_subbox", ()) or ())
+    boxfeat = tuple(kernel_kwargs.get("latent_boxfeat", ()) or ())
+    bf_rows = boxfeat[3] * boxfeat[4] if boxfeat else 0
 
     fwd_call = pl.pallas_call(
         kernel_fwd,
@@ -412,7 +451,10 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
                                    **kernel_kwargs)
 
     def _run_bwd(s_arr, rays, lat, rows, carry, d_out, wlist):
-        if subbox:
+        if boxfeat:
+            lat_spec = pl.BlockSpec((bf_rows, 128), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+        elif subbox:
             lat_spec = pl.BlockSpec((subbox[3], 128), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
         elif use_table:
@@ -431,7 +473,12 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
             lat_spec,
         ]
         ins = [s_arr, rays, lat]
-        if compact_slots or subbox:
+        if boxfeat:
+            # per-(tile, segment) scalars [base_y, base_z, xb0, K0]
+            in_specs.append(pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.SMEM))
+            ins.append(rows)
+        elif compact_slots or subbox:
             # per-sample table rows (compact) / local sub-box rows
             in_specs.append(pl.BlockSpec((1, 1, n_samples),
                                          lambda i: (i, 0, 0),
@@ -449,7 +496,15 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
         # compacting, d_sub (SZ3P, 128) in sub-box mode -- then
         # d_carry_in (blocked) and accumulated weight/tf grads
         # (constant index maps)
-        if subbox:
+        if boxfeat:
+            out_specs = [
+                pl.BlockSpec((bf_rows, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shapes = [
+                jax.ShapeDtypeStruct((n_tiles * bf_rows, 128), dtype),
+            ]
+        elif subbox:
             out_specs = [
                 pl.BlockSpec((subbox[3], 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -523,6 +578,47 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
             b1=d_b1, hidden_w=d_hw, hidden_b=d_hb,
             w_out=d_wout, b_out=d_bout)
         return d_weights, d_tf
+
+    if boxfeat:
+        # (s, rays, sub, base_pack, gr_f, p6, carry, weights, tf_pad):
+        # the padded-grid cotangent is the dense per-tile sub-box
+        # gradient scattered at the float-encoded gather rows gr_f;
+        # AD chains d_p6 -> d latent_grid through build_boxfeat_grid.
+        def segment(s_arr, rays, sub, base_pack, gr_f, table, carry,
+                    weights: FusedWeights, tf_pad):
+            del gr_f, table   # only consumed by the backward
+            return fwd_call(s_arr, rays, sub, base_pack, carry,
+                            *weights_list(weights, tf_pad))
+
+        segment = jax.custom_vjp(segment)
+
+        def segment_fwd(s_arr, rays, sub, base_pack, gr_f, table, carry,
+                        weights, tf_pad):
+            out = fwd_call(s_arr, rays, sub, base_pack, carry,
+                           *weights_list(weights, tf_pad))
+            return out, (s_arr, rays, sub, base_pack, gr_f, carry,
+                         weights, tf_pad)
+
+        def segment_bwd(res, d_out):
+            (s_arr, rays, sub, base_pack, gr_f, carry, weights,
+             tf_pad) = res
+            wlist = weights_list(weights, tf_pad)
+            outs = _run_bwd(s_arr, rays, sub, base_pack, carry, d_out,
+                            wlist)
+            d_sub, d_carry = outs[0], outs[1]
+            d_weights, d_tf = _unpack_dw(list(outs[2:]), weights)
+            idx = gr_f.reshape(-1).astype(jnp.int32)
+            # pad rows carry zero trilerp weight -> zero gradient, so a
+            # plain in-bounds add of repeated pad indices is exact
+            d_table = jnp.zeros(table_shape, dtype).at[idx].add(
+                d_sub, mode="promise_in_bounds").astype(table_dtype)
+            return (jnp.zeros((1, 1), jnp.float32),
+                    jnp.zeros_like(rays), jnp.zeros_like(sub),
+                    jnp.zeros_like(base_pack), jnp.zeros_like(gr_f),
+                    d_table, d_carry, d_weights, d_tf)
+
+        segment.defvjp(segment_fwd, segment_bwd)
+        return segment
 
     if subbox:
         def segment(s_arr, rays, sub, lrow, gr_f, table, carry,

@@ -93,7 +93,8 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
               brdf: Any = None,
               tmax_in: Optional[Array] = None,
               b: int = 0,
-              checkpoint_chunk: Optional[int] = None) -> RayEvaluationOutput:
+              checkpoint_chunk: Optional[int] = None,
+              lattice: bool = False) -> RayEvaluationOutput:
     """March rays through ``volume`` with constant step size.
 
     Args:
@@ -104,6 +105,12 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
       max_steps: static step count (see :func:`max_steps_bound`).
       tmax_in: optional (..., 1) maximum t (from a rasterized depth
         pre-pass, reference: renderer_image_evaluator_simple.cuh:61-71).
+      lattice: sample on the global step lattice t = k*stepsize
+        (first sample at ceil(tmin/stepsize)*stepsize) instead of the
+        reference's per-ray start t = tmin + i*stepsize. A sub-step
+        phase shift per ray; used by the fused boxfeat latent path,
+        whose per-tile spatial coherence requires lattice-aligned
+        sampling (see fvsrn_tpu.ops.fused_dvr).
 
     Returns ``RayEvaluationOutput`` with rgba color, alpha-weighted normal
     and depth, exactly matching the reference device loop
@@ -128,9 +135,14 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
 
     skip_tf = getattr(volume, "outputs_color", False)
 
+    k0 = jnp.ceil(tmin / stepsize) if lattice else None
+
     def step(carry, i):
         rgb, alpha, normal_acc, depth_acc, prev = carry
-        tcurrent = tmin + i.astype(dtype) * stepsize
+        if lattice:
+            tcurrent = (k0 + i.astype(dtype)) * stepsize
+        else:
+            tcurrent = tmin + i.astype(dtype) * stepsize
         valid = tcurrent <= tmax
         if config.enable_early_out:
             valid = valid & (alpha < config.alpha_early_out)

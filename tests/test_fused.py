@@ -433,6 +433,128 @@ def test_fused_subbox_normals():
                                np.asarray(ref.normal), atol=5e-4)
 
 
+def _plain_lattice(net, tf, rs, rd, stepsize, steps, early_out,
+                   **trace_kwargs):
+    vol = VolumeInterpolationNetwork.make(net)
+    cfg = RayEvaluationSteppingDvr.make(
+        stepsize=stepsize, enable_early_out=early_out,
+        need_normals=trace_kwargs.pop("need_normals", False))
+    return trace_dvr(rs, rd, vol, tf, cfg, steps, lattice=True,
+                     **trace_kwargs)
+
+
+@pytest.mark.parametrize("early_out", [False, True])
+def test_fused_boxfeat_forward_matches_lattice_plain(early_out):
+    """boxfeat latent path (lattice-aligned sampling + factorized
+    raw-grid trilerp resolve) vs the plain oracle in lattice mode."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                    early_out).color)
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=early_out, latent_mode="boxfeat",
+        interpret=True))
+    atol = 3e-3 if early_out else 1e-4
+    np.testing.assert_allclose(got, ref, atol=atol)
+    assert ref[:, 3].max() > 0.5
+
+
+def test_fused_boxfeat_backward_matches_autodiff_of_plain():
+    """boxfeat backward (dense per-tile factorized sub-box gradients)
+    vs jax.grad of the lattice-mode plain oracle."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(0).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss_fused(net, tft):
+        c = fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
+            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            enable_early_out=False, differentiable=True,
+            latent_mode="boxfeat", interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net, tft):
+        out = _plain_lattice(
+            net, TransferFunctionPiecewiseLinear(tensor=tft),
+            rs, rd, stepsize, steps, False).color
+        return jnp.mean((out - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_fused(net, tf.tensor)),
+                               float(loss_plain(net, tf.tensor)),
+                               rtol=1e-5)
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(net, tf.tensor)
+    g_p = jax.grad(loss_plain, argnums=(0, 1))(net, tf.tensor)
+    np.testing.assert_allclose(
+        np.asarray(g_f[0].latent.static_grid),
+        np.asarray(g_p[0].latent.static_grid), atol=2e-5, rtol=1e-3)
+    for lf, lp in zip(g_f[0].layers, g_p[0].layers):
+        np.testing.assert_allclose(np.asarray(lf.weight),
+                                   np.asarray(lp.weight),
+                                   atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f[1][:, :4]),
+                               np.asarray(g_p[1][:, :4]),
+                               atol=2e-5, rtol=1e-3)
+
+
+def test_fused_boxfeat_normals_and_shading():
+    """Normal sweep + Blinn-Phong shading through the boxfeat path
+    (factorized per-axis trilerp position gradients)."""
+    from fvsrn_tpu.brdf import BRDFLambert
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    brdf = BRDFLambert.make(enable_phong=True, ambient=0.2, specular=0.3,
+                            magnitude_center=0.02, magnitude_radius=0.02,
+                            light=(0.3, -0.5, -1.0))
+    ref = _plain_lattice(net, tf, rs, rd, stepsize, steps, False,
+                         need_normals=True, brdf=brdf)
+    got = fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, latent_mode="boxfeat",
+        need_normals=True, brdf=brdf, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.color),
+                               np.asarray(ref.color), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.normal),
+                               np.asarray(ref.normal), atol=5e-4)
+    assert np.abs(np.asarray(ref.normal)).max() > 0.1
+
+
+def test_fused_boxfeat_rgbo():
+    net, tf, rs, rd = _scene(True, output_mode="rgbo")
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                    False).color)
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, latent_mode="boxfeat", interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_certify_boxfeat_spec_shape():
+    """The lattice footprint certificate: small boxes, nxb covers the
+    x corner count from any base phase, n_seg covers the march."""
+    from fvsrn_tpu.ops.fused_dvr import certify_boxfeat
+    _, _, rs, rd = _scene(True)
+    spec = certify_boxfeat(rs, rd, (8, 8, 8), (-0.5, -0.5, -0.5),
+                           (1.0, 1.0, 1.0), stepsize=1 / 64,
+                           max_steps=112, seg=16, tile=64)
+    assert spec.szxc <= 10 and spec.szyc <= 10 and spec.szzc <= 10
+    # the x window covers the corner span from any 8-aligned base
+    # phase, or the whole padded extent when the grid is smaller
+    assert spec.nxb * 8 >= min(spec.szxc + 7, 8 + 2)
+    assert spec.szycp % 8 == 0
+    assert spec.n_seg >= 1
+
+
 @pytest.mark.parametrize("output_mode", ["rgbo", "rgbo:direct", "rgbo:exp"])
 def test_fused_rgbo_matches_plain(output_mode):
     """rgbo networks: TF-skipping color-field path
