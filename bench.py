@@ -43,7 +43,8 @@ def main():
     import jax.numpy as jnp
     from __graft_entry__ import _build_flagship
     from fvsrn_tpu.camera import CameraOnASphere, camera_matrix, generate_rays
-    from fvsrn_tpu.ops.fused_dvr import fused_trace_dvr
+    from fvsrn_tpu.ops.fused_dvr import (block_ray_permutation,
+                                         certify_boxfeat, fused_trace_dvr)
     from fvsrn_tpu.raytracer.dvr import max_steps_bound
 
     vol, tf, cfg = _build_flagship()
@@ -63,6 +64,18 @@ def main():
     bm = np.asarray(vol.box_min)
     bs = np.asarray(vol.box_size)
 
+    # boxfeat latent path: lattice sampling + per-(tile, segment) sub-box
+    # gathers need spatially coherent ray tiles -> 16x16 pixel blocks
+    rs_np = np.asarray(ray_start)
+    rd_np = np.asarray(ray_dir)
+    perm, _inv = block_ray_permutation(WIDTH, HEIGHT, 16, 16)
+    rs_np, rd_np = rs_np[perm], rd_np[perm]
+    spec = certify_boxfeat(rs_np, rd_np, (32, 32, 32), bm, bs,
+                           stepsize=STEPSIZE, max_steps=steps,
+                           seg=32, tile=256)
+    ray_start = jnp.asarray(rs_np)
+    ray_dir = jnp.asarray(rd_np)
+
     @jax.jit
     def fwd_bwd_chunk(vol, tf, cfg, rs, rd):
         def loss_fn(net, tft):
@@ -70,7 +83,8 @@ def main():
                 rs, rd, net, bm, bs, tft, stepsize=STEPSIZE,
                 max_steps=steps, seg=32, tile=256,
                 enable_early_out=False, differentiable=True,
-                latent_mode="table", table_dtype=jnp.bfloat16)
+                latent_mode="boxfeat", table_dtype=jnp.bfloat16,
+                subbox=spec)
             return jnp.mean(c ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
