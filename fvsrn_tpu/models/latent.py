@@ -101,6 +101,59 @@ def keyframe_grid_sample(grids: Array, pos01: Array, t: Array) -> Array:
     return lo + (hi - lo) * f
 
 
+def keyframe_lerp(grids: Array, t) -> Array:
+    """Pre-lerp a keyframe grid stack (K, C, D, H, W) at scalar ``t``
+    (keyframe index units) into ONE (C, D, H, W) grid.
+
+    Trilinear sampling is linear in the grid values, so
+    ``trilerp(lerp(G_k, G_k+1, f), x) == lerp(trilerp(G_k, x),
+    trilerp(G_k+1, x), f)`` exactly: pre-lerping the two bracketing
+    keyframes once per frame (a ~2 MB elementwise op) is the TPU-native
+    equivalent of the reference's per-sample two-texture fetch + lerp
+    inside the march (reference: renderer_volume_tensorcores.cuh:903-948,
+    volume_interpolation_network.h:318-434 LatentGridTimeAndEnsemble).
+    Matches :func:`keyframe_grid_sample` to float precision; gradients
+    flow to both bracketing keyframes through the lerp.
+    """
+    grids = jnp.asarray(grids)
+    k = grids.shape[0]
+    t = jnp.asarray(t, grids.dtype)
+    tc = jnp.clip(jnp.floor(t), 0, k - 1).astype(jnp.int32)
+    hi = jnp.minimum(tc + 1, k - 1)
+    f = t - tc.astype(grids.dtype)
+    lo_g = jnp.take(grids, tc, axis=0)
+    hi_g = jnp.take(grids, hi, axis=0)
+    return lo_g + (hi_g - lo_g) * f
+
+
+def resolve_grid(latent: "LatentSpace", time=0.0, ensemble=0.0):
+    """Collapse the latent space's volumetric grids to one static
+    (C, D, H, W) grid at scalar (time, ensemble) conditioning.
+
+    This is what lets the fused Pallas kernel serve time/ensemble-keyframed
+    SRNs with the *static-grid* data path unchanged (see
+    :func:`keyframe_lerp` for the exactness argument). Returns ``None``
+    when the latent space has no volumetric grids. Channel order matches
+    :meth:`LatentSpace.evaluate` (time grid, then ensemble grid).
+    """
+    if latent.time_dependent:
+        feats = []
+        if latent.time_grid is not None:
+            feats.append(keyframe_lerp(latent.time_grid, time))
+        if latent.ensemble_grid is not None:
+            feats.append(keyframe_lerp(latent.ensemble_grid, ensemble))
+        if not feats:
+            return None
+        if len(feats) == 1:
+            return feats[0]
+        if feats[0].shape[1:] != feats[1].shape[1:]:
+            raise ValueError(
+                "fused path requires time and ensemble grids of equal "
+                f"resolution, got {feats[0].shape} vs {feats[1].shape}")
+        return jnp.concatenate(feats, axis=0)
+    return latent.static_grid
+
+
 @struct
 class LatentSpace:
     """All latent conditioning inputs of the SRN.

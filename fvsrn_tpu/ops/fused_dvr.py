@@ -51,7 +51,7 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.latent import grid_sample_3d
+from ..models.latent import grid_sample_3d, resolve_grid
 from ..models.srn import SceneRepresentationNetwork
 from ..utils.vecmath import intersect_aabb
 
@@ -257,6 +257,59 @@ def block_ray_permutation(width: int, height: int,
             .transpose(0, 2, 1, 3).reshape(-1))
     inv = np.argsort(perm)
     return perm, inv
+
+
+def choose_fused_config(*, hidden: int, n_layers: int, num_fourier: int,
+                        latent_channels: int = 0,
+                        table_dtype=jnp.float32,
+                        latent_mode: str = "table",
+                        differentiable: bool = True,
+                        need_normals: bool = False,
+                        vmem_budget_bytes: int = 104 * 2 ** 20):
+    """Occupancy chooser: pick (seg, tile) for the fused kernel from the
+    VMEM budget given the network shape -- the TPU analog of the
+    reference's ``computeMaxWarps`` (volume_interpolation_network.cpp:
+    987-1040, block size from the 48KB smem budget per network shape;
+    swept by collect_possible_layers.py).
+
+    VMEM model: bytes/sample = overhead_factor x explicit working set
+    (latent gather row + fourier features + per-layer activation chains
+    + epilogue temps). The overhead factor absorbs Mosaic's intermediate
+    allocations and is calibrated on the measured flagship point
+    (32:32:32, 14 fourier, 16ch latent table, differentiable: ~100 MB at
+    seg=32 x tile=256 -- PERF.md). Raises ValueError when even the
+    minimum program (seg=8, tile=128) exceeds the budget, mirroring the
+    reference's "warps == 0" error.
+
+    Returns (seg, tile).
+    """
+    table_bytes = jnp.dtype(table_dtype).itemsize
+    lat = 0
+    if latent_channels > 0:
+        if latent_mode == "table":
+            lat = 128 * table_bytes          # (N, 128) neighborhood rows
+        else:                                 # boxfeat: per-tile sub-box,
+            lat = 32                          # amortized over the tile
+    act_chains = n_layers + 2 if (differentiable or need_normals) else 3
+    raw = (lat
+           + 4 * (2 * num_fourier + min(latent_channels, 16))
+           + 4 * hidden * act_chains
+           + 64)                              # TF/blend epilogue temps
+    # calibration: flagship raw = 1072 B/sample <-> ~100 MB at N=8192
+    overhead = 11.6
+    n_max = int(vmem_budget_bytes / (overhead * raw))
+    seg = 32
+    while seg > 8 and seg * 128 > n_max:
+        seg //= 2
+    tile = (n_max // seg) // 128 * 128
+    tile = min(tile, 512)
+    if tile < 128:
+        raise ValueError(
+            f"fused kernel does not fit: hidden={hidden} x {n_layers} "
+            f"layers needs {overhead * raw * seg * 128 / 2**20:.0f} MB "
+            f"at the minimum seg=8 x tile=128 program, budget is "
+            f"{vmem_budget_bytes / 2**20:.0f} MB")
+    return seg, tile
 
 
 def certify_subbox(ray_start, ray_dir, grid_sizes, box_min, box_size, *,
@@ -1132,7 +1185,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                     blend_mode: str = "beer_lambert",
                     alpha_early_out: float = 0.999,
                     enable_early_out: bool = True,
-                    seg: int = 32, tile: int = 256,
+                    seg: Optional[int] = 32, tile: Optional[int] = 256,
                     compute_dtype=jnp.float32,
                     differentiable: bool = False,
                     latent_mode: str = "table",
@@ -1140,6 +1193,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                     subbox=0,
                     need_normals: bool = False,
                     brdf=None,
+                    time=0.0, ensemble=0.0,
                     interpret: bool = False):
     """Fused DVR through an SRN. Returns rgba (R, 4), or a
     ``RayEvaluationOutput`` (color, blended normal, depth) when
@@ -1149,6 +1203,20 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
 
     Semantics match ``trace_dvr`` over a ``VolumeInterpolationNetwork``
     with need_normals=False (verified allclose in tests/test_fused.py).
+
+    ``seg=None``/``tile=None`` auto-sizes the kernel program from the
+    VMEM budget via :func:`choose_fused_config` (the ``computeMaxWarps``
+    analog).
+
+    ``time``/``ensemble`` (traced scalars) condition time/ensemble-
+    keyframed latent grids: the bracketing keyframe grids are pre-lerped
+    into ONE static grid per frame (exact -- trilerp is linear in grid
+    values; :func:`fvsrn_tpu.models.latent.resolve_grid`), so every
+    latent mode (table / subbox / boxfeat) serves keyframed SRNs
+    unchanged and gradients flow to both bracketing keyframes
+    (reference: LatentGridTimeAndEnsemble,
+    volume_interpolation_network.h:318-434; in-march keyframe texture
+    lerp, renderer_volume_tensorcores.cuh:903-948).
     ``differentiable=True`` uses a fixed-count segment scan (reverse-AD via
     per-segment rematerialization); the default runs a while_loop that
     stops once every ray saturated or left the box.
@@ -1189,9 +1257,6 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     contributions on the compacted path.
     """
     r_total = ray_start.shape[0]
-    if r_total % tile != 0:
-        raise ValueError(f"ray count {r_total} must be a multiple of "
-                         f"tile={tile} (pad the rays)")
     dtype = jnp.float32
     try:
         # the kernel bakes the box as python floats (jit-static); grab them
@@ -1210,10 +1275,30 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
 
     weights = extract_weights(net, jnp.float32)
     has_latent = weights.w1_lat is not None
-    latent_grid = net.latent.static_grid if has_latent else None
+    if has_latent and (net.latent.time_vector is not None
+                       or net.latent.ensemble_vector is not None):
+        raise ValueError("fused path: 1D latent vectors are not supported; "
+                         "use keyframed latent grids")
+    # time/ensemble-keyframed grids collapse to one static grid per frame
+    # (exact: trilerp is linear in grid values; see models.latent.resolve_grid)
+    latent_grid = resolve_grid(net.latent, time, ensemble) \
+        if has_latent else None
     cl = weights.w1_lat.shape[1] if has_latent else 8
     use_table = has_latent and latent_mode == "table" and cl <= 16
     use_boxfeat = has_latent and latent_mode == "boxfeat" and cl <= 16
+    if seg is None or tile is None:
+        a_seg, a_tile = choose_fused_config(
+            hidden=weights.b1.shape[0],
+            n_layers=1 + len(weights.hidden_w),
+            num_fourier=weights.fourier.shape[0],
+            latent_channels=cl if has_latent else 0,
+            table_dtype=table_dtype, latent_mode=latent_mode,
+            differentiable=differentiable, need_normals=need_normals)
+        seg = seg or a_seg
+        tile = tile or a_tile
+    if r_total % tile != 0:
+        raise ValueError(f"ray count {r_total} must be a multiple of "
+                         f"tile={tile} (pad the rays)")
     grid_sizes = (1, 1, 1)
     table = None
     p6 = None

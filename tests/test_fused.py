@@ -628,3 +628,199 @@ def test_fused_direction_gradients():
     np.testing.assert_allclose(
         np.asarray(g_f.input.fourier_matrix),
         np.asarray(g_p.input.fourier_matrix), atol=2e-5, rtol=1e-3)
+
+
+# -- time/ensemble-keyframed latent grids through the fused path ----------
+# (reference: LatentGridTimeAndEnsemble, volume_interpolation_network.h:
+# 318-434; in-march keyframe texture lerp, tensorcores.cuh:903-948)
+
+def _time_scene(seed=11, k_time=3, k_ens=0, c=8):
+    rng = np.random.default_rng(seed)
+    kw = dict(time_dependent=True)
+    kw["time_grid"] = jnp.asarray(
+        (rng.standard_normal((k_time, c, 8, 8, 8)) * 0.3).astype(np.float32))
+    if k_ens:
+        kw["ensemble_grid"] = jnp.asarray(
+            (rng.standard_normal((k_ens, c, 8, 8, 8)) * 0.3)
+            .astype(np.float32))
+    latent = LatentSpace(**kw)
+    net = SceneRepresentationNetwork.make(
+        layers="32:32:32", activation="SnakeAlt:2", num_fourier=6,
+        output_mode="density:direct", latent=latent, seed=seed)
+    _, tf, rs, rd = _scene(False)
+    return net, tf, rs, rd
+
+
+def test_keyframe_lerp_matches_grid_sample():
+    """Pre-lerping keyframe grids commutes with trilerp (linearity)."""
+    from fvsrn_tpu.models.latent import (grid_sample_3d, keyframe_grid_sample,
+                                         keyframe_lerp)
+    rng = np.random.default_rng(0)
+    grids = jnp.asarray(rng.standard_normal((4, 8, 6, 6, 6))
+                        .astype(np.float32))
+    pos = jnp.asarray(rng.random((37, 3)).astype(np.float32))
+    for t in [0.0, 0.4, 1.0, 2.7, 3.0, 3.5, -0.5]:
+        a = keyframe_grid_sample(grids, pos, jnp.float32(t))
+        b = grid_sample_3d(keyframe_lerp(grids, t), pos)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("t", [0.0, 1.3, 2.0])
+def test_fused_time_grid_matches_plain(t):
+    net, tf, rs, rd = _time_scene()
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    vol = VolumeInterpolationNetwork.make(net, time=t)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=stepsize,
+                                        enable_early_out=False)
+    ref = np.asarray(trace_dvr(rs, rd, vol, tf, cfg, steps).color)
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, time=t, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_time_plus_ensemble_grid_matches_plain():
+    """Concatenated time+ensemble grid channels through the fused path."""
+    net, tf, rs, rd = _time_scene(k_time=2, k_ens=2, c=4)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    vol = VolumeInterpolationNetwork.make(net, time=0.6, ensemble=1.0)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=stepsize,
+                                        enable_early_out=False)
+    ref = np.asarray(trace_dvr(rs, rd, vol, tf, cfg, steps).color)
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, time=0.6, ensemble=1.0, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_time_grid_keyframe_gradients():
+    """Gradients reach both bracketing keyframe grids through the fused
+    differentiable path and match jax.grad of the plain oracle."""
+    net, tf, rs, rd = _time_scene()
+    stepsize = 1 / 16
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    t = 0.7
+    tgt = np.random.default_rng(5).random((rs.shape[0], 4)).astype(np.float32)
+
+    def loss_fused(net):
+        c = fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+            enable_early_out=False, differentiable=True, time=t,
+            interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net):
+        vol = VolumeInterpolationNetwork.make(net, time=t)
+        cfg = RayEvaluationSteppingDvr.make(stepsize=stepsize,
+                                            enable_early_out=False)
+        out = trace_dvr(rs, rd, vol, tf, cfg, steps).color
+        return jnp.mean((out - tgt) ** 2)
+
+    g_f = jax.grad(loss_fused)(net)
+    g_p = jax.grad(loss_plain)(net)
+    gf = np.asarray(g_f.latent.time_grid)
+    gp = np.asarray(g_p.latent.time_grid)
+    # keyframes 0 and 1 bracket t=0.7; keyframe 2 untouched
+    assert np.abs(gf[0]).max() > 0 and np.abs(gf[1]).max() > 0
+    np.testing.assert_allclose(gf[2], 0.0, atol=1e-12)
+    np.testing.assert_allclose(gf, gp, atol=2e-5, rtol=1e-3)
+
+
+def test_fused_boxfeat_time_grid():
+    """Time-keyframed grids through the boxfeat fast path: forward vs the
+    lattice oracle and keyframe-grid gradients vs jax.grad of it."""
+    net, tf, rs, rd = _time_scene(seed=13)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    t = 1.4
+    vol = VolumeInterpolationNetwork.make(net, time=t)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=stepsize,
+                                        enable_early_out=False)
+    ref = np.asarray(trace_dvr(rs, rd, vol, tf, cfg, steps,
+                               lattice=True).color)
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, latent_mode="boxfeat", time=t,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    tgt = np.random.default_rng(2).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss_fused(net):
+        c = fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            enable_early_out=False, differentiable=True,
+            latent_mode="boxfeat", time=t, interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net):
+        v = VolumeInterpolationNetwork.make(net, time=t)
+        out = trace_dvr(rs, rd, v, tf, cfg, steps, lattice=True).color
+        return jnp.mean((out - tgt) ** 2)
+
+    gf = np.asarray(jax.grad(loss_fused)(net).latent.time_grid)
+    gp = np.asarray(jax.grad(loss_plain)(net).latent.time_grid)
+    assert np.abs(gf[1]).max() > 0 and np.abs(gf[2]).max() > 0
+    np.testing.assert_allclose(gf[0], 0.0, atol=1e-12)
+    np.testing.assert_allclose(gf, gp, atol=2e-5, rtol=1e-3)
+
+
+# -- occupancy chooser (computeMaxWarps analog) ----------------------------
+
+def test_choose_fused_config_flagship():
+    """The chooser reproduces the measured flagship program
+    (32:32:32, 14 fourier, 16ch bf16 table -> seg=32, tile=256)."""
+    from fvsrn_tpu.ops.fused_dvr import choose_fused_config
+    seg, tile = choose_fused_config(
+        hidden=32, n_layers=3, num_fourier=14, latent_channels=16,
+        table_dtype=jnp.bfloat16, differentiable=True)
+    assert (seg, tile) == (32, 256)
+
+
+def test_choose_fused_config_sweep():
+    """Every reference Table-1 shape (32..128 channels, varying depth)
+    gets a valid program; N shrinks monotonically with network cost
+    (reference: collect_possible_layers.py:49-58)."""
+    from fvsrn_tpu.ops.fused_dvr import choose_fused_config
+    last_n = None
+    for hidden in (32, 48, 64, 96, 128):
+        for n_layers in (2, 4, 6):
+            seg, tile = choose_fused_config(
+                hidden=hidden, n_layers=n_layers, num_fourier=14,
+                latent_channels=16, table_dtype=jnp.bfloat16,
+                differentiable=True)
+            assert seg in (8, 16, 32) and tile % 128 == 0 and tile >= 128
+        n = seg * tile
+        if last_n is not None:
+            assert n <= last_n
+        last_n = n
+
+
+def test_choose_fused_config_too_big_raises():
+    from fvsrn_tpu.ops.fused_dvr import choose_fused_config
+    with pytest.raises(ValueError, match="does not fit"):
+        choose_fused_config(
+            hidden=1024, n_layers=16, num_fourier=14, latent_channels=16,
+            differentiable=True, vmem_budget_bytes=2 ** 20)
+
+
+def test_fused_auto_config():
+    """seg=None/tile=None auto-sizes and still matches the oracle."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain(net, tf, rs, rd, stepsize, steps, False))
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=None, tile=128,
+        enable_early_out=False, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
