@@ -69,6 +69,57 @@ def make_dp_world_train_step(mesh: Mesh,
     return step
 
 
+def make_dp_screen_train_step(mesh: Mesh, tf, config, loss,
+                              optimizer: optax.GradientTransformation,
+                              *, width: int, height: int, max_steps: int,
+                              axis: str = "data", use_fused: bool = False,
+                              fused_kwargs=None):
+    """Data-parallel SCREEN-space train step (BASELINE config 4).
+
+    The camera minibatch (C, H*W, ...) is sharded over ``axis`` on the
+    camera dimension -- each device renders and differentiates whole
+    images, so windowed image losses (DSSIM) keep exact single-device
+    semantics. Params/opt state are replicated; per-shard gradients are
+    psum-averaged (equal shard sizes -> global mean gradient). Requires
+    cameras-per-batch to be a multiple of the axis size.
+
+    Returns step(network, opt_state, rs, rd, targets) ->
+    (network, opt_state, loss).
+    """
+    from ..train.screen import evaluate_screen
+
+    def sharded_grads(net, rs, rd, tgt):
+        def local_loss(n):
+            total, _ = evaluate_screen(
+                n, rs, rd, tgt, tf, config, loss, max_steps,
+                width, height, use_fused=use_fused,
+                fused_kwargs=fused_kwargs)
+            return total
+
+        total, grads = jax.value_and_grad(local_loss)(net)
+        # check_vma=False disables the automatic psum of the replicated
+        # param cotangent -- reduce explicitly
+        grads = jax.lax.pmean(grads, axis)
+        total = jax.lax.pmean(total, axis)
+        return total, grads
+
+    # check_vma=False: the DVR march's scan carry starts unvarying and
+    # becomes varying (same situation as make_dp_render)
+    grad_fn = jax.shard_map(
+        sharded_grads, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()), check_vma=False)
+
+    @jax.jit
+    def step(network, opt_state, rs, rd, targets):
+        total, grads = grad_fn(network, rs, rd, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, network)
+        network = optax.apply_updates(network, updates)
+        return network, opt_state, total
+
+    return step
+
+
 def make_dp_render(mesh: Mesh, render_rays: Callable, axis: str = "data"):
     """Shard a flat ray-set renderer over devices.
 

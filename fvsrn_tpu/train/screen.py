@@ -101,9 +101,11 @@ def build_screen_dataset(volume, tf, config: RayEvaluationSteppingDvr,
 def evaluate_screen(network, batch_rays_start, batch_rays_dir,
                     batch_targets, tf, config: RayEvaluationSteppingDvr,
                     loss: LossNetScreen, max_steps: int,
-                    width: int, height: int, use_fused: bool = False):
+                    width: int, height: int, use_fused: bool = False,
+                    fused_kwargs: Optional[dict] = None):
     """Differentiable render + image loss
-    (reference: evaluation.py:17-57)."""
+    (reference: evaluation.py:17-57). ``fused_kwargs``: extra static
+    options for the fused kernel (seg/tile/latent_mode/subbox/interpret)."""
     netvol = VolumeInterpolationNetwork.make(network)
     if use_fused:
         from ..ops.fused_dvr import fused_trace_dvr
@@ -113,7 +115,7 @@ def evaluate_screen(network, batch_rays_start, batch_rays_dir,
             np.asarray(netvol.box_min), np.asarray(netvol.box_size),
             tf.tensor, stepsize=float(np.asarray(config.stepsize)),
             max_steps=max_steps, enable_early_out=False,
-            differentiable=True)
+            differentiable=True, **(fused_kwargs or {}))
     else:
         out = trace_dvr(batch_rays_start.reshape(-1, 3),
                         batch_rays_dir.reshape(-1, 3), netvol, tf,

@@ -133,3 +133,59 @@ def test_sharded_fused_render_matches_single(rng):
     sharded = make_dp_render(mesh, render_rays)
     got = np.asarray(sharded(rs, rd, net, tf.tensor))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_dp_screen_train_step_matches_single_device(rng):
+    """Camera-sharded screen-space training step (BASELINE config 4)
+    equals the single-device step on the full camera batch."""
+    import optax
+    from fvsrn_tpu.parallel.train_step import make_dp_screen_train_step
+    from fvsrn_tpu.train.losses import LossNetScreen
+    from fvsrn_tpu.train.screen import evaluate_screen
+    from fvsrn_tpu.transfer import TransferFunctionPiecewiseLinear
+
+    mesh = make_mesh(8)
+    net = _make_net(rng)
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[1.0, 0.3, 0.1], [0.3, 1.0, 0.5]], opacity=[0.0, 20.0],
+        positions=[0.0, 1.0])
+    cfg = RayEvaluationSteppingDvr.make(stepsize=1 / 16,
+                                        enable_early_out=False)
+    w = h = 8
+    steps = max_steps_bound((1.0, 1.0, 1.0), 1 / 16)
+    cams = [CameraOnASphere.make(pitch=0.1 * i, yaw=0.3 * i, distance=1.6)
+            for i in range(8)]
+    rs, rd, tgt = [], [], []
+    for c in cams:
+        s, d = generate_rays(c, w, h)
+        rs.append(np.asarray(s).reshape(-1, 3))
+        rd.append(np.asarray(d).reshape(-1, 3))
+        tgt.append(rng.random((w * h, 4)).astype(np.float32))
+    rs, rd, tgt = (np.stack(rs), np.stack(rd), np.stack(tgt))
+    loss = LossNetScreen(l1=1.0, l2=0.5, dssim=0.25)
+    opt = make_optimizer("Adam", lr=1e-3)
+
+    # single-device reference step
+    import jax
+    @jax.jit
+    def step1(net, opt_state, rs, rd, tgt):
+        def loss_fn(n):
+            total, _ = evaluate_screen(n, rs, rd, tgt, tf, cfg, loss,
+                                       steps, w, h)
+            return total
+        total, grads = jax.value_and_grad(loss_fn)(net)
+        updates, opt_state = opt.update(grads, opt_state, net)
+        return optax.apply_updates(net, updates), opt_state, total
+
+    net1, _, total1 = step1(net, opt.init(net), rs, rd, tgt)
+
+    netr = replicate(mesh, net)
+    optr = replicate(mesh, opt.init(netr))
+    shard = lambda a: shard_batch(mesh, a)
+    stepN = make_dp_screen_train_step(mesh, tf, cfg, loss, opt,
+                                      width=w, height=h, max_steps=steps)
+    netN, _, totalN = stepN(netr, optr, shard(rs), shard(rd), shard(tgt))
+
+    np.testing.assert_allclose(float(total1), float(totalN), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(net1), jax.tree.leaves(netN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
