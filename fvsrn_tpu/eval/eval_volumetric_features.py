@@ -79,6 +79,15 @@ def main(argv=None):
     results = {}
     ref_img = np.asarray(model.render_reference(
         cameras[0], args.width, args.height))
+    # LPIPS when weights are configured (FVSRN_LPIPS_BACKBONE/_LINEAR);
+    # reported as null otherwise -- DSSIM/SSIM is the documented
+    # substitute in no-weight environments (COVERAGE.md)
+    lpips_model = None
+    try:
+        from fvsrn_tpu.train.lpips import load_lpips
+        lpips_model = load_lpips()
+    except (FileNotFoundError, ImportError):
+        pass
     for mode in args.modes:
         mean_ms, std_ms, _ = model.time_rendering(
             cameras, width=args.width, height=args.height, mode=mode)
@@ -88,14 +97,22 @@ def main(argv=None):
             jnp.moveaxis(jnp.asarray(net_img)[None], -1, 1),
             jnp.moveaxis(jnp.asarray(ref_img)[None], -1, 1)))
         mrays = args.width * args.height / (mean_ms / 1000) / 1e6
+        lp = None
+        if lpips_model is not None:
+            lp = round(float(lpips_model(
+                jnp.moveaxis(jnp.asarray(net_img)[None, ..., :3], -1, 1),
+                jnp.moveaxis(jnp.asarray(ref_img)[None, ..., :3], -1, 1)
+            )[0]), 4)
         results[mode] = {
             "frame_ms_mean": round(mean_ms, 3),
             "frame_ms_std": round(std_ms, 3),
             "mrays_per_s": round(mrays, 3),
             "ssim_vs_reference": round(s, 4),
+            "lpips_vs_reference": lp,
         }
         print(f"{mode}: {mean_ms:.1f}±{std_ms:.1f} ms "
-              f"({mrays:.2f} Mrays/s), SSIM {s:.4f}", file=sys.stderr)
+              f"({mrays:.2f} Mrays/s), SSIM {s:.4f}, LPIPS {lp}",
+              file=sys.stderr)
     print(json.dumps(results))
     return 0
 

@@ -2,11 +2,11 @@
 
 Rebuild of the reference loss stack
 (reference: applications/volnet/lossnet.py:60-225 ``LossNetScreen``/
-``LossNetWorld``; applications/losses/ssim.py for SSIM). LPIPS requires
-pretrained perceptual weights which the reference vendors as binary blobs;
-here the architecture is implemented and weights are loaded from a
-user-supplied file (``lpips_weights_path``) -- without one, the LPIPS term
-is unavailable and requesting it raises.
+``LossNetWorld``; applications/losses/ssim.py for SSIM). LPIPS is fully
+implemented (fvsrn_tpu.train.lpips: AlexNet/VGG16 stack + v0.1 linear
+heads) but the pretrained weights are binary blobs the reference vendors;
+load them with ``lpips.load_lpips`` and attach the model as
+``LossNetScreen.lpips_model`` -- requesting lpips without a model raises.
 """
 from __future__ import annotations
 
@@ -68,15 +68,18 @@ def dssim(pred: Array, ref: Array, **kw) -> Array:
 
 
 # ---------------------------------------------------------------------------
-# LPIPS (perceptual loss) -- architecture only; weights must be supplied.
+# LPIPS (perceptual loss): full architecture in fvsrn_tpu.train.lpips;
+# attach a model (loaded or random) as LossNetScreen.lpips_model.
 
 
 def lpips_unavailable_error():
     return RuntimeError(
-        "LPIPS requires pretrained perceptual network weights; pass "
-        "lpips_weights_path (a .npz with the conv weights) to LossConfig. "
-        "The reference vendors these binaries (applications/losses/lpips); "
-        "they are not bundled here.")
+        "LPIPS requested (lpips > 0) but no model attached: build one with "
+        "fvsrn_tpu.train.lpips.load_lpips(backbone_path, linear_path) "
+        "(torchvision alexnet/vgg16 checkpoint + richzhang/"
+        "PerceptualSimilarity v0.1 linear heads -- the files the reference "
+        "bundles at applications/losses/lpips/weights/) and pass it as "
+        "LossNetScreen(lpips=..., lpips_model=model).")
 
 
 @struct
@@ -90,6 +93,7 @@ class LossNetScreen:
     dssim: float = static_field(default=0.0)
     lpips: float = static_field(default=0.0)
     multiply_alpha: bool = static_field(default=False)
+    lpips_model: Optional[object] = None  # fvsrn_tpu.train.lpips.LPIPS
 
     def __call__(self, prediction: Array, reference: Array,
                  return_individual: bool = False):
@@ -110,10 +114,15 @@ class LossNetScreen:
         else:
             vals["dssim"] = jnp.zeros(())
         if self.lpips > 0:
-            raise lpips_unavailable_error()
-        vals["lpips"] = jnp.zeros(())
+            if self.lpips_model is None:
+                raise lpips_unavailable_error()
+            vals["lpips"] = jnp.mean(self.lpips_model(
+                prediction[:, :3], reference[:, :3]))
+        else:
+            vals["lpips"] = jnp.zeros(())
         total = (self.l1 * vals["l1"] + self.l2 * vals["l2"]
-                 + self.dssim * vals["dssim"])
+                 + self.dssim * vals["dssim"]
+                 + self.lpips * vals["lpips"])
         vals["total"] = total
         if return_individual:
             return total, vals

@@ -69,3 +69,79 @@ def test_inpaint_fills_holes(rng):
     # known pixels unchanged, hole filled from surroundings
     np.testing.assert_allclose(out[0, 0, 0], 0.7, atol=1e-5)
     np.testing.assert_allclose(out[0, 8, 8], 0.7, atol=1e-3)
+
+
+# -- LPIPS (fvsrn_tpu/train/lpips.py) --------------------------------------
+
+def test_lpips_metric_properties():
+    """lpips(x, x) == 0, lpips(x, y) > 0, differentiable, jittable."""
+    import jax
+    import jax.numpy as jnp
+    from fvsrn_tpu.train.lpips import lpips_random
+    m = lpips_random("alex", seed=3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 3, 64, 64)).astype(np.float32))
+    y = jnp.asarray(rng.random((2, 3, 64, 64)).astype(np.float32))
+    d_xx = np.asarray(jax.jit(m.__call__)(x, x))
+    d_xy = np.asarray(jax.jit(m.__call__)(x, y))
+    assert d_xx.shape == (2,)
+    np.testing.assert_allclose(d_xx, 0.0, atol=1e-6)
+    assert (d_xy > 1e-4).all()
+    g = jax.grad(lambda a: jnp.sum(m(a, y)))(x)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(g).max() > 0
+
+
+def test_lpips_vgg_arch():
+    from fvsrn_tpu.train.lpips import lpips_random
+    m = lpips_random("vgg", seed=1)
+    assert len(m.conv_w) == 13 and len(m.lin_w) == 5
+    assert tuple(w.shape[0] for w in m.lin_w) == (64, 128, 256, 512, 512)
+    x = np.random.default_rng(2).random((1, 3, 64, 64)).astype(np.float32)
+    d = np.asarray(m(x, x * 0.5))
+    assert np.isfinite(d).all() and d[0] > 0
+
+
+def test_lpips_torch_loader(tmp_path):
+    """load_lpips parses torchvision-format backbone + v0.1 linear-head
+    checkpoints (synthesized here; the real files are the torchvision
+    alexnet checkpoint and the reference's bundled
+    losses/lpips/weights/v0.1/alex.pth)."""
+    import torch
+    from fvsrn_tpu.train.lpips import _ALEX_PLAN, load_lpips, lpips_random
+    ref = lpips_random("alex", seed=5)
+    # synthesize torch state dicts with torchvision's key layout
+    feature_idx = [0, 3, 6, 8, 10]  # alexnet conv positions
+    bsd = {}
+    for i, (w, b) in zip(feature_idx, zip(ref.conv_w, ref.conv_b)):
+        bsd[f"features.{i}.weight"] = torch.from_numpy(np.asarray(w))
+        bsd[f"features.{i}.bias"] = torch.from_numpy(np.asarray(b))
+    lsd = {f"lin{i}.model.1.weight":
+           torch.from_numpy(np.asarray(w)[None, :, None, None])
+           for i, w in enumerate(ref.lin_w)}
+    bp, lp = str(tmp_path / "alex_backbone.pth"), str(tmp_path / "lin.pth")
+    torch.save(bsd, bp)
+    torch.save(lsd, lp)
+    m = load_lpips(bp, lp, arch="alex")
+    x = np.random.default_rng(4).random((1, 3, 64, 64)).astype(np.float32)
+    y = np.random.default_rng(5).random((1, 3, 64, 64)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(m(x, y)),
+                               np.asarray(ref(x, y)), rtol=1e-5)
+
+
+def test_screen_loss_with_lpips_model():
+    import jax.numpy as jnp
+    from fvsrn_tpu.train.losses import LossNetScreen
+    from fvsrn_tpu.train.lpips import lpips_random
+    rng = np.random.default_rng(1)
+    pred = jnp.asarray(rng.random((1, 4, 64, 64)).astype(np.float32))
+    ref = jnp.asarray(rng.random((1, 4, 64, 64)).astype(np.float32))
+    loss = LossNetScreen(l1=1.0, lpips=0.5, lpips_model=lpips_random())
+    total, vals = loss(pred, ref, return_individual=True)
+    assert float(vals["lpips"]) > 0
+    np.testing.assert_allclose(
+        float(total), float(vals["l1"]) + 0.5 * float(vals["lpips"]),
+        rtol=1e-6)
+    # without a model it must still raise
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="LPIPS"):
+        LossNetScreen(lpips=0.5)(pred, ref)
