@@ -81,9 +81,14 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--stepsize", type=float, default=1 / 64)
+    p.add_argument("--platform", default=None,
+                   help="cpu = virtual multi-device CPU mesh (set "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     args = p.parse_args(argv)
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     avail = len(jax.devices())
     results = {}
     base = None

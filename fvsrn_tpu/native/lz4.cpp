@@ -187,4 +187,58 @@ int fv_lz4_decompress(const uint8_t* src, int srcLen, uint8_t* dst,
     return static_cast<int>(op - dst);
 }
 
+// Decompress an LZ4 block with a dictionary prefix: dst points at the
+// write position inside a larger contiguous buffer whose preceding
+// prefixLen bytes hold already-decoded output that matches may reference.
+// This is the streaming-decode case (LZ4_decompress_safe_continue with
+// contiguous destination) used by the reference's vendored lz4cpp when
+// chunking one .cvol payload: chunk N may back-reference chunk N-1.
+// The produced size is implicit in the block; returns bytes written
+// (<= dstCap), negative on corrupt input.
+int fv_lz4_decompress_prefix(const uint8_t* src, int srcLen, uint8_t* dst,
+                             int dstCap, int prefixLen) {
+    const uint8_t* ip = src;
+    const uint8_t* const iend = src + srcLen;
+    uint8_t* op = dst;
+    uint8_t* const oend = dst + dstCap;
+
+    while (ip < iend) {
+        uint8_t token = *ip++;
+        int litLen = token >> 4;
+        if (litLen == 15) {
+            uint8_t s;
+            do {
+                if (ip >= iend) return -1;
+                s = *ip++;
+                litLen += s;
+            } while (s == 255);
+        }
+        if (ip + litLen > iend || op + litLen > oend) return -2;
+        std::memcpy(op, ip, litLen);
+        ip += litLen;
+        op += litLen;
+        if (ip >= iend) break;
+        if (ip + 2 > iend) return -3;
+        int offset = ip[0] | (ip[1] << 8);
+        ip += 2;
+        // matches may reach back into the prefix window
+        if (offset == 0 || (op - dst) + prefixLen < offset) return -4;
+        int matchLen = token & 15;
+        if (matchLen == 15) {
+            uint8_t s;
+            do {
+                if (ip >= iend) return -5;
+                s = *ip++;
+                matchLen += s;
+            } while (s == 255);
+        }
+        matchLen += MINMATCH;
+        if (op + matchLen > oend) return -6;
+        const uint8_t* match = op - offset;
+        for (int i = 0; i < matchLen; ++i) op[i] = match[i];
+        op += matchLen;
+    }
+    return static_cast<int>(op - dst);
+}
+
 }  // extern "C"

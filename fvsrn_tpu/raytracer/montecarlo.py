@@ -42,6 +42,7 @@ class RayEvaluationMonteCarlo:
     light_radius: Array = None
     light_intensity: Array = None
     color_scaling: Array = None
+    sh_coefficients: Optional[Array] = None  # ((deg+1)^2, 3) environment
     num_bounces: int = static_field(default=2)
     max_iterations: int = static_field(default=512)
 
@@ -49,14 +50,22 @@ class RayEvaluationMonteCarlo:
     def make(cls, max_absorption=10.0, density_min=0.0, density_max=1.0,
              light_position=(0.0, 2.0, 0.0), light_radius=0.5,
              light_intensity=1.0, color_scaling=1.0, num_bounces=2,
-             max_iterations=512):
+             max_iterations=512, sh_coefficients=None):
         f32 = lambda v: np.asarray(v, np.float32)
+        if sh_coefficients is not None:
+            sh_coefficients = f32(sh_coefficients)
+            n = sh_coefficients.shape[0]
+            if int(np.sqrt(n)) ** 2 != n or sh_coefficients.shape[1:] != (3,):
+                raise ValueError(
+                    "sh_coefficients must be ((degree+1)^2, 3) rgb "
+                    f"coefficients, got {sh_coefficients.shape}")
         return cls(max_absorption=f32(max_absorption),
                    density_min=f32(density_min), density_max=f32(density_max),
                    light_position=f32(light_position),
                    light_radius=f32(light_radius),
                    light_intensity=f32(light_intensity),
                    color_scaling=f32(color_scaling),
+                   sh_coefficients=sh_coefficients,
                    num_bounces=num_bounces, max_iterations=max_iterations)
 
 
@@ -141,9 +150,13 @@ def sample_light_position(key: Array, config: RayEvaluationMonteCarlo,
 
 def eval_background(ray_start: Array, ray_dir: Array,
                     config: RayEvaluationMonteCarlo):
-    """Ray/light-sphere intersection for escaped rays
-    (reference: cuh:182-203 ``evalBackground``): rays hitting the
-    spherical area light receive its intensity."""
+    """Background radiance for escaped rays: ray/light-sphere
+    intersection (reference: cuh:182-203 ``evalBackground``) plus an
+    optional spherical-harmonics environment term evaluated in the
+    escape direction (``config.sh_coefficients``, ((deg+1)^2, 3) rgb --
+    the MC hookup of the reference's SH utility,
+    renderer/spherical_harmonics.h:19-42 /
+    renderer_spherical_harmonics.cuh)."""
     center = jnp.asarray(config.light_position)
     radius = jnp.asarray(config.light_radius)
     oc = ray_start - center
@@ -152,9 +165,20 @@ def eval_background(ray_start: Array, ray_dir: Array,
     c = jnp.sum(oc * oc, axis=-1, keepdims=True) - radius * radius
     disc = b * b - 4 * a * c
     is_light = disc > 0
-    i = jnp.where(is_light, config.light_intensity, 0.0)
+    rgb = jnp.where(is_light, config.light_intensity, 0.0)
+    rgb = jnp.broadcast_to(rgb, ray_dir.shape[:-1] + (3,))
     alpha = is_light.astype(ray_start.dtype)
-    return jnp.concatenate([i, i, i, alpha], axis=-1)
+    if config.sh_coefficients is not None:
+        from .. import sh
+        n = config.sh_coefficients.shape[0]
+        degree = int(math.isqrt(n)) - 1
+        basis = sh.evaluate(safe_normalize(ray_dir), degree)
+        env = jnp.maximum(basis @ config.sh_coefficients, 0.0)
+        rgb = rgb + jnp.where(is_light, 0.0, env)
+        alpha = jnp.maximum(
+            alpha, (jnp.sum(env, axis=-1, keepdims=True) > 0)
+            .astype(ray_start.dtype))
+    return jnp.concatenate([rgb, alpha], axis=-1)
 
 
 def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,

@@ -44,6 +44,10 @@ def _load():
         lib.fv_lz4_decompress.restype = ctypes.c_int
         lib.fv_lz4_decompress.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.fv_lz4_decompress_prefix.restype = ctypes.c_int
+        lib.fv_lz4_decompress_prefix.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -73,3 +77,20 @@ def decompress(data: bytes, raw_len: int) -> bytes:
     if n != raw_len:
         raise RuntimeError(f"LZ4 decompression failed (code {n})")
     return out.raw
+
+
+def decompress_into(data: bytes, out: np.ndarray, pos: int) -> int:
+    """Streaming-chunk decode: decompress the block ``data`` into the
+    uint8 buffer ``out`` at offset ``pos``, allowing matches to reach
+    back into ``out[:pos]`` (the lz4cpp dictionary-continuation case).
+    Returns the number of bytes produced."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native LZ4 unavailable: {_build_error}")
+    assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
+    dst = out.ctypes.data + pos
+    n = lib.fv_lz4_decompress_prefix(data, len(data), dst,
+                                     out.size - pos, min(pos, 65535))
+    if n < 0:
+        raise RuntimeError(f"LZ4 chunk decompression failed (code {n})")
+    return n

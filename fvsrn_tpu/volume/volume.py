@@ -16,12 +16,16 @@ File formats (reference: volume.h:42-77):
 - legacy: magic 'cvol', sizes u64*3, voxel size f64*3, dtype u32,
   compressed-bool byte, 7B pad, X-fastest payload.
 
-Compression: the reference streams through a vendored lz4cpp wrapper whose
-chunk framing is not part of the source drop; compressed payloads written
-HERE use our own documented framing ([i32 rawLen | i32 compLen | LZ4
-block]*, via the native codec in fvsrn_tpu/native) -- uncompressed files
-are byte-compatible with the reference in both directions, compressed
-files only round-trip within this framework.
+Compression: the reference streams through a vendored lz4cpp wrapper
+(submodule absent from the source drop); its framing is reverse-engineered
+from the call sites (volume.cpp:335-380): per chunk an i32 compressed size
+followed by one LZ4 block, raw size implicit, chunks streamed with
+dictionary continuation. Writes HERE use that framing with independent
+64 KB blocks (a valid streaming special case); reads handle dictionary
+continuation by decoding chunks into contiguous memory
+(lz4io.decompress_into) and fall back to this framework's round-1 framing
+([i32 rawLen | i32 compLen | block]*) for older files. Uncompressed files
+are byte-compatible with the reference in both directions.
 """
 from __future__ import annotations
 
@@ -38,7 +42,8 @@ from . import lz4io
 MAGIC_V1 = b"CVOL"
 MAGIC_LEGACY = b"cvol"
 FLAG_COMPRESSED = 1
-MAX_CHUNK = 1 << 20  # 1MB raw chunks for our LZ4 framing
+MAX_CHUNK = 1 << 20    # 1MB raw chunks (round-1 framing, read-only now)
+LZ4CPP_CHUNK = 1 << 16  # 64KB raw chunks for the lz4cpp-framed writes
 
 DTYPE_UCHAR = 0
 DTYPE_USHORT = 1
@@ -316,12 +321,8 @@ class Volume:
         s.read(7)
         dt = _NUMPY_DTYPES[dtype_code]
         nbytes = sx * sy * sz * np.dtype(dt).itemsize
-        if compressed:
-            raise ValueError(
-                "legacy LZ4-compressed .cvol files use the reference's "
-                "vendored chunk framing which is not part of the source "
-                "drop; re-save uncompressed")
-        payload = s.read(nbytes)
+        payload = _read_lz4_chunks(s, nbytes) if compressed \
+            else s.read(nbytes)
         # legacy payload: X fastest, Z slowest -> (Z, Y, X)
         data = np.frombuffer(payload, dtype=dt).reshape(sz, sy, sx)
         v = cls(world_size=(sx * vx, sy * vy, sz * vz))
@@ -335,16 +336,56 @@ class Volume:
 
 
 def _write_lz4_chunks(s, payload: bytes):
-    for off in range(0, len(payload), MAX_CHUNK):
-        raw = payload[off:off + MAX_CHUNK]
+    """Write the lz4cpp stream framing the reference uses
+    (reverse-engineered from volume.cpp:335-380: per chunk an i32
+    compressed size followed by one LZ4 block; the raw size is implicit
+    in the block). Chunks are 64 KB raw -- the LZ4 window size -- and
+    compressed independently, which is a valid special case of the
+    reference's streaming compression (LZ4_compress_HC_continue), so a
+    streaming decoder reads them unchanged."""
+    for off in range(0, len(payload), LZ4CPP_CHUNK):
+        raw = payload[off:off + LZ4CPP_CHUNK]
         comp = lz4io.compress(raw)
-        s.write(struct.pack("<ii", len(raw), len(comp)))
+        s.write(struct.pack("<i", len(comp)))
         s.write(comp)
-    if len(payload) == 0:
-        pass
+
+
+def _read_lz4cpp_chunks(s, total: int) -> bytes:
+    """Read lz4cpp-framed chunks ([i32 compSize | LZ4 block]*) into one
+    contiguous buffer. Streamed chunks may back-reference the previous
+    chunk's output (dictionary continuation), which contiguous decoding
+    supports natively (lz4io.decompress_into)."""
+    out = np.empty(total, np.uint8)
+    got = 0
+    while got < total:
+        hdr = s.read(4)
+        if len(hdr) < 4:
+            raise RuntimeError("truncated lz4cpp chunk stream")
+        comp_len, = struct.unpack("<i", hdr)
+        if not 0 < comp_len <= (1 << 24):
+            raise RuntimeError(f"implausible lz4cpp chunk size {comp_len}")
+        comp = s.read(comp_len)
+        if len(comp) < comp_len:
+            raise RuntimeError("truncated lz4cpp chunk")
+        n = lz4io.decompress_into(comp, out, got)
+        if n <= 0:
+            raise RuntimeError("corrupt lz4cpp chunk")
+        got += n
+    if got != total:
+        raise RuntimeError(f"lz4cpp stream produced {got} of {total} B")
+    return out.tobytes()
 
 
 def _read_lz4_chunks(s, total: int) -> bytes:
+    """Read a compressed payload: the reference's lz4cpp framing first,
+    falling back to this framework's round-1 framing
+    ([i32 rawLen | i32 compLen | LZ4 block]*) for files written before
+    the interop change."""
+    pos = s.tell()
+    try:
+        return _read_lz4cpp_chunks(s, total)
+    except RuntimeError:
+        s.seek(pos)
     out = io.BytesIO()
     got = 0
     while got < total:

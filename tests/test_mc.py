@@ -119,3 +119,46 @@ def test_trace_mc_unbiased_alpha():
     alpha = float(np.mean(np.asarray(out.color)[:, 3]))
     # analytic: optical depth of the center chord ~2.8 -> hit prob ~0.94
     np.testing.assert_allclose(alpha, 0.94, atol=0.05)
+
+
+def test_sh_background():
+    """The SH environment term lights escaped rays directionally
+    (the MC hookup of the reference's SH utility,
+    renderer/spherical_harmonics.h:19-42)."""
+    from fvsrn_tpu import sh
+    from fvsrn_tpu.raytracer.montecarlo import eval_background
+    # degree-1 environment: brighter toward +z (sh index 2 = z band)
+    coeffs = np.zeros((4, 3), np.float32)
+    coeffs[0, :] = 0.6
+    coeffs[2, :] = 0.5
+    cfg = RayEvaluationMonteCarlo.make(
+        light_position=(0.0, 100.0, 0.0), light_radius=0.1,
+        sh_coefficients=coeffs)
+    d_up = jnp.asarray([[0.0, 0.0, 1.0]])
+    d_dn = jnp.asarray([[0.0, 0.0, -1.0]])
+    o = jnp.zeros((1, 3))
+    up = np.asarray(eval_background(o, d_up, cfg))
+    dn = np.asarray(eval_background(o, d_dn, cfg))
+    # matches direct SH evaluation
+    exp_up = float(jnp.maximum(
+        sh.evaluate(d_up, 1) @ jnp.asarray(coeffs), 0.0)[0, 0])
+    np.testing.assert_allclose(up[0, 0], exp_up, rtol=1e-5)
+    assert up[0, 0] > dn[0, 0] >= 0.0
+    assert up[0, 3] == 1.0  # env-lit escape contributes alpha
+    # light sphere still wins on rays that hit it
+    d_light = jnp.asarray([[0.0, 1.0, 0.0]])
+    lt = np.asarray(eval_background(o, d_light, cfg))
+    np.testing.assert_allclose(lt[0, :3], 1.0, rtol=1e-6)
+
+    # and the full path tracer runs with an SH environment
+    vol, tf, _ = _mc_scene()
+    cfg2 = RayEvaluationMonteCarlo.make(
+        max_absorption=float(np.asarray(tf.max_absorption())),
+        sh_coefficients=coeffs)
+    phase = PhaseFunctionHenyeyGreenstein.make(g=0.0)
+    cam = CameraOnASphere.make(distance=1.5)
+    start, direction = generate_rays(cam, 8, 8)
+    out = trace_mc(jax.random.PRNGKey(1),
+                   start.reshape(-1, 3), direction.reshape(-1, 3),
+                   vol, tf, phase, cfg2)
+    assert np.isfinite(np.asarray(out.color)).all()

@@ -139,3 +139,63 @@ def test_ensemble_factory_json_roundtrip(tmp_path):
     assert fac2.num_timesteps == 7
     assert fac2.start_timestep == 2
     assert fac2.step_timestep == 3
+
+
+def test_lz4cpp_dictionary_continuation(tmp_path):
+    """Chunks that back-reference the previous chunk's output (the
+    reference's streaming compression) decode correctly: a handcrafted
+    block whose match offset reaches into the prefix window."""
+    from fvsrn_tpu.volume import lz4io
+    if not lz4io.available():
+        import pytest
+        pytest.skip("native codec unavailable")
+    prefix = b"ABCDEFGH" * 4  # 32 B of already-decoded output
+    # block: [token: 0 literals, matchlen 8 -> 0x04][offset 32 LE]
+    #        [last sequence: 5 literals]
+    block = bytes([0x04, 32, 0]) + bytes([0x50]) + b"WXYZV"
+    out = np.empty(len(prefix) + 13, np.uint8)
+    out[:len(prefix)] = np.frombuffer(prefix, np.uint8)
+    n = lz4io.decompress_into(block, out, len(prefix))
+    assert n == 13
+    got = out[len(prefix):len(prefix) + 13].tobytes()
+    assert got == prefix[:8] + b"WXYZV"
+
+
+def test_round1_framing_fallback(tmp_path):
+    """Files written with the round-1 chunk framing still load."""
+    import struct
+    from fvsrn_tpu.volume import lz4io
+    from fvsrn_tpu.volume.volume import Volume
+    if not lz4io.available():
+        import pytest
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(0)
+    data = (rng.random((7, 8, 9)) < 0.2).astype(np.float32)
+    v = Volume(world_size=(1.0, 1.0, 1.0))
+    v.add_feature("density", data)
+    p = str(tmp_path / "old.cvol")
+    # write v1 header + round-1 chunk framing by hand
+    payload = v.features[0].levels[0].data.tobytes()
+    with open(p, "wb") as s:
+        s.write(b"CVOL")
+        s.write(struct.pack("<i", 1))
+        s.write(struct.pack("<3f", 1, 1, 1))
+        s.write(struct.pack("<i", 1))
+        s.write(struct.pack("<i", 1))  # FLAG_COMPRESSED
+        s.write(b"\x00" * 4)
+        name = v.features[0].name.encode()
+        s.write(struct.pack("<i", len(name)))
+        s.write(name)
+        lvl = v.features[0].levels[0]
+        s.write(struct.pack("<3Q", lvl.size_x, lvl.size_y, lvl.size_z))
+        s.write(struct.pack("<i", lvl.channels))
+        s.write(struct.pack("<i", v.features[0].dtype_code))
+        chunk = 1 << 20
+        for off in range(0, len(payload), chunk):
+            raw = payload[off:off + chunk]
+            comp = lz4io.compress(raw)
+            s.write(struct.pack("<ii", len(raw), len(comp)))
+            s.write(comp)
+    v2 = Volume.load(p)
+    np.testing.assert_array_equal(
+        v2.features[0].levels[0].data, v.features[0].levels[0].data)
