@@ -120,6 +120,71 @@ def make_dp_screen_train_step(mesh: Mesh, tf, config, loss,
     return step
 
 
+def compose_over(front, back):
+    """Associative 'over' composition of two premultiplied partials
+    (rgb, alpha, alpha-weighted normal, alpha-weighted depth pytrees as
+    produced by trace_dvr): out = front + (1 - a_front) * back for every
+    premultiplied channel, a = a_f + (1 - a_f) * a_b."""
+    import jax.numpy as jnp
+    a_f = front.color[..., 3:4]
+    t_f = 1.0 - a_f
+    color = jnp.concatenate(
+        [front.color[..., :3] + t_f * back.color[..., :3],
+         a_f + t_f * back.color[..., 3:4]], axis=-1)
+    return type(front)(color=color,
+                       normal=front.normal + t_f * back.normal,
+                       depth=front.depth + t_f * back.depth)
+
+
+def make_cp_render(mesh: Mesh, volume, tf, config, max_steps: int,
+                   axis: str = "data", checkpoint_chunk=None):
+    """Context-parallel (ray-SEGMENT) rendering: every device marches a
+    disjoint span of the step axis for ALL rays, then the per-span
+    partials composite with the associative over operator across the
+    mesh axis (SURVEY §2.3/§5: samples-along-ray partitioning; the
+    reference's only analog is the sequential loop). Exact vs the
+    single-device march because (C, alpha) composition is associative;
+    requires enable_early_out=False (a span cannot see upstream
+    saturation) and a non-preintegrated TF (the previous-density carry
+    does not cross span boundaries).
+
+    Complements ray-DP: shard rays when there are many rays per device,
+    shard the march when rays are few but the march is long (large
+    volumes / tiny viewports).
+
+    Returns render(ray_start, ray_dir) -> RayEvaluationOutput, rays
+    replicated, output replicated.
+    """
+    from ..raytracer.dvr import trace_dvr
+
+    if config.enable_early_out:
+        raise ValueError("context-parallel marching requires "
+                         "enable_early_out=False (a span cannot see "
+                         "upstream saturation)")
+    n = mesh.shape[axis]
+    span = -(-max_steps // n)
+
+    def local(rs, rd):
+        d = jax.lax.axis_index(axis)
+        # step_offset must be static per trace; switch over the device
+        # index (n branches, each a span-long march)
+        branches = [
+            (lambda rs, rd, o=i * span: trace_dvr(
+                rs, rd, volume, tf, config, span, step_offset=o,
+                checkpoint_chunk=checkpoint_chunk))
+            for i in range(n)]
+        out = jax.lax.switch(d, branches, rs, rd)
+        parts = jax.lax.all_gather(out, axis, axis=0, tiled=False)
+        comp = jax.tree.map(lambda a: a[0], parts)
+        for i in range(1, n):
+            comp = compose_over(comp, jax.tree.map(lambda a: a[i], parts))
+        return comp
+
+    sharded = jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                            out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
 def make_dp_render(mesh: Mesh, render_rays: Callable, axis: str = "data"):
     """Shard a flat ray-set renderer over devices.
 

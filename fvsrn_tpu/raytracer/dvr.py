@@ -94,7 +94,8 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
               tmax_in: Optional[Array] = None,
               b: int = 0,
               checkpoint_chunk: Optional[int] = None,
-              lattice: bool = False) -> RayEvaluationOutput:
+              lattice: bool = False,
+              step_offset: int = 0) -> RayEvaluationOutput:
     """March rays through ``volume`` with constant step size.
 
     Args:
@@ -111,6 +112,11 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
         phase shift per ray; used by the fused boxfeat latent path,
         whose per-tile spatial coherence requires lattice-aligned
         sampling (see fvsrn_tpu.ops.fused_dvr).
+      step_offset: first step index (marches i in [step_offset,
+        step_offset + max_steps)) -- the ray-SEGMENT partition axis for
+        context-parallel marching (parallel.train_step.make_cp_render):
+        per-span partial composites are exact because the over operator
+        is associative. Use enable_early_out=False across spans.
 
     Returns ``RayEvaluationOutput`` with rgba color, alpha-weighted normal
     and depth, exactly matching the reference device loop
@@ -194,17 +200,17 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
         return (rgb, alpha, normal_acc, depth_acc, new_prev), None
 
     carry0 = (rgb0, alpha0, normal0, depth0, prev0)
+    steps_iota = step_offset + jnp.arange(max_steps, dtype=jnp.int32)
     if checkpoint_chunk is None:
         (rgb, alpha, normal_acc, depth_acc, _), _ = jax.lax.scan(
-            step, carry0, jnp.arange(max_steps, dtype=jnp.int32))
+            step, carry0, steps_iota)
     elif checkpoint_chunk == 1:
         # per-step rematerialization: the scan stores only the small carry
         # (9 floats/ray/step) and recomputes the network evaluation in the
         # backward -- same memory shape as the reference's inverted-blending
         # backward, paid in recompute instead of algebraic inversion.
         (rgb, alpha, normal_acc, depth_acc, _), _ = jax.lax.scan(
-            jax.checkpoint(step), carry0,
-            jnp.arange(max_steps, dtype=jnp.int32))
+            jax.checkpoint(step), carry0, steps_iota)
     else:
         # sqrt-decomposition rematerialization: outer scan over chunks with
         # jax.checkpoint'ed inner scans -> O(S/chunk) stored carries +
@@ -218,7 +224,8 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
         def chunk_fn(carry, c):
             return jax.lax.scan(
                 step, carry,
-                c * chunk + jnp.arange(chunk, dtype=jnp.int32))
+                step_offset + c * chunk
+                + jnp.arange(chunk, dtype=jnp.int32))
 
         (rgb, alpha, normal_acc, depth_acc, _), _ = jax.lax.scan(
             chunk_fn, carry0, jnp.arange(n_chunks, dtype=jnp.int32))

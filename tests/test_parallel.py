@@ -189,3 +189,46 @@ def test_dp_screen_train_step_matches_single_device(rng):
     np.testing.assert_allclose(float(total1), float(totalN), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(net1), jax.tree.leaves(netN)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cp_render_matches_single_device(rng):
+    """Ray-SEGMENT (context-parallel) marching: 8 devices each march a
+    disjoint span of the step axis; over-composition of the partials
+    equals the single-device march exactly (associativity)."""
+    from fvsrn_tpu.parallel.train_step import make_cp_render
+    from fvsrn_tpu.transfer import TransferFunctionPiecewiseLinear
+    mesh = make_mesh(8)
+    vol = VolumeInterpolationImplicit.make("MARSCHNER_LOBB")
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[1.0, 0.2, 0.1], [0.2, 0.4, 1.0]], opacity=[0.0, 25.0],
+        positions=[0.0, 1.0])
+    cfg = RayEvaluationSteppingDvr.make(stepsize=1 / 48,
+                                        enable_early_out=False)
+    cam = CameraOnASphere.make(pitch=0.3, yaw=0.7, distance=1.6)
+    start, direction = generate_rays(cam, 16, 16)
+    s = jnp.reshape(start, (-1, 3))
+    d = jnp.reshape(direction, (-1, 3))
+    steps = max_steps_bound(vol.box_size, 1 / 48)
+
+    ref = trace_dvr(s, d, vol, tf, cfg, steps)
+    cp = make_cp_render(mesh, vol, tf, cfg, steps)
+    got = cp(s, d)
+    assert np.asarray(ref.color)[:, 3].max() > 0.5
+    np.testing.assert_allclose(np.asarray(got.color),
+                               np.asarray(ref.color), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.normal),
+                               np.asarray(ref.normal), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.depth),
+                               np.asarray(ref.depth), atol=2e-5)
+
+
+def test_cp_render_rejects_early_out():
+    import pytest
+    from fvsrn_tpu.parallel.train_step import make_cp_render
+    from fvsrn_tpu.transfer import TransferFunctionIdentity
+    mesh = make_mesh(8)
+    vol = VolumeInterpolationImplicit.make("SPHERE")
+    tf = TransferFunctionIdentity.make(absorption=10.0)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=0.05)
+    with pytest.raises(ValueError, match="early_out"):
+        make_cp_render(mesh, vol, tf, cfg, 32)
