@@ -30,7 +30,7 @@ BASELINE_MRAYS = 13.1
 WIDTH = HEIGHT = 512
 STEPSIZE = 1.0 / 512
 RAY_CHUNK = 262144  # rays per jit call
-TIMED_FRAMES = 2
+TIMED_FRAMES = 4
 
 
 def main():
@@ -44,7 +44,8 @@ def main():
     from __graft_entry__ import _build_flagship
     from fvsrn_tpu.camera import CameraOnASphere, camera_matrix, generate_rays
     from fvsrn_tpu.ops.fused_dvr import (block_ray_permutation,
-                                         certify_boxfeat, fused_trace_dvr)
+                                         fused_trace_dvr_bucketed,
+                                         plan_ray_buckets)
     from fvsrn_tpu.raytracer.dvr import max_steps_bound
 
     vol, tf, cfg = _build_flagship()
@@ -65,26 +66,27 @@ def main():
     bs = np.asarray(vol.box_size)
 
     # boxfeat latent path: lattice sampling + per-(tile, segment) sub-box
-    # gathers need spatially coherent ray tiles -> 16x16 pixel blocks
+    # gathers need spatially coherent ray tiles -> 16x16 pixel blocks;
+    # march-length tile bucketing slices off dead tiles and lets short
+    # tiles stop early (camera-static host pre-pass)
     rs_np = np.asarray(ray_start)
     rd_np = np.asarray(ray_dir)
     perm, _inv = block_ray_permutation(WIDTH, HEIGHT, 16, 16)
     rs_np, rd_np = rs_np[perm], rd_np[perm]
-    spec = certify_boxfeat(rs_np, rd_np, (32, 32, 32), bm, bs,
-                           stepsize=STEPSIZE, max_steps=steps,
-                           seg=32, tile=256)
+    plan = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=STEPSIZE,
+                            seg=32, tile=256, n_buckets=6,
+                            grid_sizes=(32, 32, 32))
     ray_start = jnp.asarray(rs_np)
     ray_dir = jnp.asarray(rd_np)
 
     @jax.jit
     def fwd_bwd_chunk(vol, tf, cfg, rs, rd):
         def loss_fn(net, tft):
-            c = fused_trace_dvr(
-                rs, rd, net, bm, bs, tft, stepsize=STEPSIZE,
-                max_steps=steps, seg=32, tile=256,
-                enable_early_out=False, differentiable=True,
-                latent_mode="boxfeat", table_dtype=jnp.bfloat16,
-                subbox=spec)
+            c = fused_trace_dvr_bucketed(
+                rs, rd, net, bm, bs, tft, plan=plan, stepsize=STEPSIZE,
+                seg=32, tile=256, enable_early_out=False,
+                differentiable=True, latent_mode="boxfeat",
+                table_dtype=jnp.bfloat16)
             return jnp.mean(c ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
@@ -110,6 +112,7 @@ def main():
         t0 = time.perf_counter()
         run_frame()
         times.append(time.perf_counter() - t0)
+    print(f"frames: {[round(t, 3) for t in times]}", file=sys.stderr)
     dt = float(np.mean(times))
     mrays = WIDTH * HEIGHT / dt / 1e6
     print(json.dumps({

@@ -99,8 +99,10 @@ class LoadedModel:
                                    height)
 
     def render_network(self, camera, width: int, height: int,
-                       mode: str = "FUSED"):
-        """(reference: inference.py:529-660 ``render_network``)"""
+                       mode: str = "FUSED", interpret: bool = False):
+        """(reference: inference.py:529-660 ``render_network``).
+        ``interpret``: run the fused kernel in Pallas interpret mode
+        (off-TPU testing)."""
         if mode not in EVAL_MODES:
             raise ValueError(f"mode must be one of {EVAL_MODES}")
         stepsize = float(np.asarray(self.config.stepsize))
@@ -111,24 +113,58 @@ class LoadedModel:
         rs = rs.reshape(-1, 3)
         rd = rd.reshape(-1, 3)
         if mode.startswith("FUSED"):
-            from .ops.fused_dvr import fused_trace_dvr
-            tile = 128
-            pad = (-rs.shape[0]) % tile
-            if pad:
-                rs = jnp.concatenate([rs, jnp.zeros((pad, 3))], axis=0)
-                rd = jnp.concatenate([rd, jnp.ones((pad, 3))], axis=0)
-            color = fused_trace_dvr(
-                rs, rd, self.network, self.box_min, self.box_size,
-                self.tf.tensor, stepsize=stepsize, max_steps=steps,
+            from .models.latent import resolve_grid
+            from .ops.fused_dvr import (block_ray_permutation,
+                                        fused_trace_dvr,
+                                        fused_trace_dvr_bucketed,
+                                        plan_ray_buckets)
+            kw = dict(
+                stepsize=stepsize,
                 density_min=float(np.asarray(self.config.density_min)),
                 density_max=float(np.asarray(self.config.density_max)),
-                tile=tile,
                 compute_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
                 else jnp.float32,
                 table_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
-                else jnp.float32)
-            if pad:
-                color = color[:-pad]
+                else jnp.float32,
+                interpret=interpret)
+            grid = resolve_grid(self.network.latent)
+            # fast path: boxfeat latent sampling + march-length tile
+            # bucketing; needs 16x16-coherent pixel blocks and a latent
+            # grid with <= 16 channels
+            if (grid is not None and grid.shape[0] <= 16
+                    and width % 16 == 0 and height % 16 == 0):
+                rs_np = np.asarray(rs)
+                rd_np = np.asarray(rd)
+                perm, inv = block_ray_permutation(width, height, 16, 16)
+                rs_np, rd_np = rs_np[perm], rd_np[perm]
+                c, gd, gh, gw = grid.shape
+                # quantize=128: plans from different camera poses hash
+                # to the same static structure -> jit reuse across the
+                # timing loop (reference warm-up semantics)
+                plan = plan_ray_buckets(
+                    rs_np, rd_np, np.asarray(self.box_min),
+                    np.asarray(self.box_size), stepsize=stepsize,
+                    seg=32, tile=256, n_buckets=6,
+                    grid_sizes=(gw, gh, gd), quantize=128)
+                color = fused_trace_dvr_bucketed(
+                    jnp.asarray(rs_np), jnp.asarray(rd_np),
+                    self.network, self.box_min, self.box_size,
+                    self.tf.tensor, plan=plan, seg=32, tile=256,
+                    latent_mode="boxfeat", **kw)
+                color = jnp.take(color, jnp.asarray(inv), axis=0)
+            else:
+                tile = 128
+                pad = (-rs.shape[0]) % tile
+                if pad:
+                    rs = jnp.concatenate([rs, jnp.zeros((pad, 3))],
+                                         axis=0)
+                    rd = jnp.concatenate([rd, jnp.ones((pad, 3))],
+                                         axis=0)
+                color = fused_trace_dvr(
+                    rs, rd, self.network, self.box_min, self.box_size,
+                    self.tf.tensor, max_steps=steps, tile=tile, **kw)
+                if pad:
+                    color = color[:-pad]
         else:
             net = self.network
             if mode == "PLAIN16":

@@ -437,6 +437,142 @@ def certify_boxfeat(ray_start, ray_dir, grid_sizes, box_min, box_size, *,
     return BoxfeatSpec(szxc, szyc, szzc, nxb, n_seg)
 
 
+class RayBucketPlan(NamedTuple):
+    """Static plan for march-length tile bucketing (see
+    :func:`plan_ray_buckets`)."""
+    perm: np.ndarray          # (R,) tile-granular ray permutation
+    inv: np.ndarray           # inverse permutation
+    group_sizes: tuple        # rays per live group (multiples of tile)
+    group_steps: tuple        # max_steps per group
+    group_specs: tuple        # BoxfeatSpec per group (or 0s)
+    dead: int                 # leading rays whose tiles never hit the box
+
+
+def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
+                     stepsize: float, seg: int, tile: int,
+                     n_buckets: int = 4, grid_sizes=None,
+                     quantize: int = 0) -> RayBucketPlan:
+    """Bucket ray tiles by march length so short tiles stop marching
+    early.
+
+    The fixed-count differentiable scan (and the forward without
+    early-out) pays the WORST tile's segment count for every tile; on a
+    512^2 flagship view the mean per-tile span is ~half the max, i.e.
+    ~2x wasted march work. This host-side pre-pass (camera-static, like
+    :func:`certify_boxfeat`) sorts tiles by their lattice span and
+    groups them into ``n_buckets`` contiguous buckets; each bucket then
+    runs its own fused trace with its own (smaller) segment count and
+    its own certified footprint. Tiles that never intersect the box are
+    sliced off entirely (their output is exactly zero). Tile contents
+    are not reordered, so block-coherent tiles stay coherent.
+
+    The reference has no analog (its while-march early-outs per warp);
+    this is the TPU counterpart for fixed-trip-count programs. Requires
+    concrete rays. Use with :func:`fused_trace_dvr_bucketed`.
+
+    ``quantize`` > 0 makes the plan SHAPE camera-stable for jit reuse
+    across cameras (e.g. ``time_rendering``): group sizes become fixed
+    equal splits of the whole tile set (dead tiles fold into the
+    shortest group) and step counts round up to multiples of
+    ``quantize`` -- plans from different poses then usually hash to the
+    same static structure, at the cost of the dead-tile slice-off.
+    """
+    rs = np.asarray(ray_start, np.float32)
+    rd = np.asarray(ray_dir, np.float32)
+    bmin = np.asarray(box_min, np.float32)
+    bsize = np.asarray(box_size, np.float32)
+    h = np.float32(stepsize)
+    r_total = rs.shape[0]
+    n_tiles = r_total // tile
+    inv_d = 1.0 / np.where(rd == 0, 1e-12, rd)
+    t0 = (bmin - rs) * inv_d
+    t1 = (bmin + bsize - rs) * inv_d
+    tmin = np.maximum(np.minimum(t0, t1).max(axis=1), 0.0)
+    tmax = np.maximum(t0, t1).min(axis=1)
+    k0 = np.ceil(tmin / h)
+    k1 = np.floor(tmax / h)
+    alive = (tmax > tmin) & (k1 >= k0)
+    k0t = np.where(alive, k0, np.inf).reshape(n_tiles, tile).min(axis=1)
+    k1t = np.where(alive, k1, -np.inf).reshape(n_tiles, tile).max(axis=1)
+    span_t = np.where(np.isfinite(k0t), k1t - k0t + 1, 0.0)
+    span_t = np.maximum(span_t, 0.0)
+
+    order_t = np.argsort(span_t, kind="stable")
+    perm = (order_t[:, None] * tile + np.arange(tile)).ravel()
+    inv_p = np.argsort(perm)
+    spans_sorted = span_t[order_t]
+    n_dead = 0 if quantize else int(np.sum(spans_sorted <= 0))
+    live = n_tiles - n_dead
+    sizes, steps, specs = [], [], []
+    if live > 0:
+        edges = np.linspace(n_dead, n_tiles, n_buckets + 1).astype(int)
+        rs_p = rs[perm]
+        rd_p = rd[perm]
+        for a, b in zip(edges[:-1], edges[1:]):
+            if b <= a:
+                continue
+            g_steps = int(spans_sorted[a:b].max())
+            g_steps = max(g_steps, 1)
+            if quantize:
+                g_steps = -(-g_steps // quantize) * quantize
+            sizes.append((b - a) * tile)
+            steps.append(g_steps)
+            if grid_sizes is not None:
+                sp = certify_boxfeat(
+                    rs_p[a * tile:b * tile], rd_p[a * tile:b * tile],
+                    grid_sizes, bmin, bsize, stepsize=stepsize,
+                    max_steps=g_steps, seg=seg, tile=tile)
+                if quantize:
+                    # stabilize the static spec across cameras: round
+                    # footprint corners up to even, segment count to
+                    # the quantized step budget
+                    szxc = -(-sp.szxc // 2) * 2
+                    nxb = min((szxc + 7 + 7) // 8,
+                              (int(grid_sizes[0]) + 2 + 7) // 8)
+                    sp = BoxfeatSpec(
+                        szxc, -(-sp.szyc // 2) * 2,
+                        -(-sp.szzc // 2) * 2, nxb,
+                        max(sp.n_seg, -(-g_steps // seg)))
+                specs.append(sp)
+            else:
+                specs.append(0)
+    return RayBucketPlan(perm=perm, inv=inv_p, group_sizes=tuple(sizes),
+                         group_steps=tuple(steps),
+                         group_specs=tuple(specs), dead=n_dead * tile)
+
+
+def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
+                             box_min, box_size, tf_tensor: Array, *,
+                             plan: RayBucketPlan, **kwargs):
+    """Run :func:`fused_trace_dvr` per march-length bucket (see
+    :func:`plan_ray_buckets`) and reassemble the output in the input ray
+    order. ``kwargs`` are forwarded except ``max_steps``/``subbox``,
+    which come from the plan. Jit-safe: the plan is static."""
+    kwargs.pop("max_steps", None)
+    kwargs.pop("subbox", None)
+    perm = jnp.asarray(plan.perm)
+    inv = jnp.asarray(plan.inv)
+    rs = jnp.take(ray_start, perm, axis=0)
+    rd = jnp.take(ray_dir, perm, axis=0)
+    outs = []
+    ofs = plan.dead
+    for size, g_steps, spec in zip(plan.group_sizes, plan.group_steps,
+                                   plan.group_specs):
+        outs.append(fused_trace_dvr(
+            jax.lax.dynamic_slice_in_dim(rs, ofs, size),
+            jax.lax.dynamic_slice_in_dim(rd, ofs, size),
+            net, box_min, box_size, tf_tensor,
+            max_steps=g_steps, subbox=spec, **kwargs))
+        ofs += size
+    if plan.dead:
+        dead_out = jax.tree.map(
+            lambda a: jnp.zeros((plan.dead,) + a.shape[1:], a.dtype),
+            outs[0])
+        outs.insert(0, dead_out)
+    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    return jax.tree.map(lambda a: jnp.take(a, inv, axis=0), out)
+
+
 def build_boxfeat_grid(grid: Array, nxb_tot: int) -> Array:
     """Padded raw-value latent grid in gather-row layout for boxfeat.
 

@@ -824,3 +824,71 @@ def test_fused_auto_config():
         stepsize=stepsize, max_steps=steps, seg=None, tile=128,
         enable_early_out=False, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+# -- march-length tile bucketing -------------------------------------------
+
+def test_bucketed_fused_matches_unbucketed():
+    """plan_ray_buckets + fused_trace_dvr_bucketed == the single full
+    fused trace (forward and gradients), with dead tiles sliced off."""
+    from fvsrn_tpu.ops.fused_dvr import (fused_trace_dvr_bucketed,
+                                         plan_ray_buckets)
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    kwargs = dict(stepsize=stepsize, seg=8, tile=16,
+                  enable_early_out=False, latent_mode="boxfeat",
+                  interpret=True)
+    plan = plan_ray_buckets(np.asarray(rs), np.asarray(rd), bm, bs,
+                            stepsize=stepsize, seg=8, tile=16,
+                            n_buckets=3, grid_sizes=(8, 8, 8))
+    assert len(plan.group_sizes) >= 2
+    ref = np.asarray(fused_trace_dvr(
+        rs, rd, net, bm, bs, tf.tensor, max_steps=steps, **kwargs))
+    got = np.asarray(fused_trace_dvr_bucketed(
+        rs, rd, net, bm, bs, tf.tensor, plan=plan, **kwargs))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # gradients through the bucketed path
+    tgt = np.random.default_rng(1).random(ref.shape).astype(np.float32)
+
+    def loss_b(net):
+        c = fused_trace_dvr_bucketed(
+            rs, rd, net, bm, bs, tf.tensor, plan=plan,
+            differentiable=True, **kwargs)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_u(net):
+        c = fused_trace_dvr(
+            rs, rd, net, bm, bs, tf.tensor, max_steps=steps,
+            differentiable=True, **kwargs)
+        return jnp.mean((c - tgt) ** 2)
+
+    g_b = jax.grad(loss_b)(net)
+    g_u = jax.grad(loss_u)(net)
+    np.testing.assert_allclose(np.asarray(g_b.latent.static_grid),
+                               np.asarray(g_u.latent.static_grid),
+                               atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_b.layers[0].weight),
+                               np.asarray(g_u.layers[0].weight),
+                               atol=2e-5, rtol=1e-3)
+
+
+def test_quantized_plans_stable_across_cameras():
+    """quantize>0 stabilizes group sizes and step budgets across
+    camera poses (footprint specs may still differ when the view
+    genuinely changes the per-tile latent extent)."""
+    from fvsrn_tpu.ops.fused_dvr import plan_ray_buckets
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    statics = set()
+    for yaw in (0.0, 0.7, 1.4, 2.1):
+        cam = CameraOnASphere.make(pitch=0.3, yaw=yaw, distance=1.6)
+        rs, rd = generate_rays(cam, 32, 32)
+        plan = plan_ray_buckets(
+            np.asarray(rs).reshape(-1, 3), np.asarray(rd).reshape(-1, 3),
+            bm, bs, stepsize=1 / 128, seg=32, tile=256, n_buckets=2,
+            grid_sizes=(32, 32, 32), quantize=128)
+        assert plan.dead == 0  # dead tiles fold into the first bucket
+        statics.add((plan.group_sizes, plan.group_steps))
+    assert len(statics) == 1, statics

@@ -133,3 +133,45 @@ def test_render_reference_and_timing():
         LoadedModel.rotation_cameras(3), width=8, height=8,
         mode="PLAIN32")
     assert mean_ms > 0 and len(frames) == 2  # first frame discarded
+
+
+def test_render_network_fused_boxfeat_bucketed():
+    """The FUSED inference mode rides the boxfeat+bucketed fast path and
+    matches the lattice-sampling oracle (interpret mode off-TPU)."""
+    import jax.numpy as jnp
+    from fvsrn_tpu.camera import camera_matrix, generate_rays
+    from fvsrn_tpu.inference import LoadedModel
+    from fvsrn_tpu.models.latent import LatentSpace
+    from fvsrn_tpu.models.network_volume import VolumeInterpolationNetwork
+    from fvsrn_tpu.models.srn import SceneRepresentationNetwork
+    from fvsrn_tpu.raytracer.dvr import (RayEvaluationSteppingDvr,
+                                         max_steps_bound, trace_dvr)
+    from fvsrn_tpu.transfer import TransferFunctionPiecewiseLinear
+
+    rng = np.random.default_rng(3)
+    latent = LatentSpace(static_grid=jnp.asarray(
+        (rng.standard_normal((8, 8, 8, 8)) * 0.3).astype(np.float32)))
+    net = SceneRepresentationNetwork.make(
+        layers="32:32", activation="SnakeAlt:2", num_fourier=6,
+        output_mode="density:direct", latent=latent, seed=3)
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.9, 0.2, 0.1], [0.1, 0.9, 0.4]], opacity=[3.0, 20.0],
+        positions=[0.0, 1.0])
+    cfg = RayEvaluationSteppingDvr.make(stepsize=1 / 32,
+                                        enable_early_out=False)
+    model = LoadedModel(net, tf, config=cfg)
+    cam = CameraOnASphere.make(pitch=0.3, yaw=0.7, distance=1.6)
+    w = h = 32
+    img = np.asarray(model.render_network(cam, w, h, "FUSED",
+                                          interpret=True))
+    assert img.shape == (h, w, 4) and np.isfinite(img).all()
+    # oracle: plain lattice-mode trace (the boxfeat sampling contract)
+    mat = np.asarray(camera_matrix(cam))
+    rs, rd = generate_rays(mat, w, h, cam.fov_y_radians)
+    vol = VolumeInterpolationNetwork.make(net)
+    steps = max_steps_bound((1.0, 1.0, 1.0), 1 / 32)
+    ref = np.asarray(trace_dvr(rs.reshape(-1, 3), rd.reshape(-1, 3),
+                               vol, tf, cfg, steps, lattice=True).color
+                     ).reshape(h, w, 4)
+    assert ref[..., 3].max() > 0.3
+    np.testing.assert_allclose(img, ref, atol=1e-4)
