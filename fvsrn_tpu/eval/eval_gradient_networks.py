@@ -68,6 +68,56 @@ def main(argv=None):
     print("mode     mean_cosine  l2")
     for r in rows:
         print(f"{r['mode']:<8} {r['mean_cosine']:<12.4f} {r['l2']:.4f}")
+
+    # shaded-DVR render through the FUSED in-kernel-adjoint normal path
+    # vs the plain oracle (reference: the TC kernel's evalNormal +
+    # Lambert epilogue, renderer_volume_tensorcores.cuh:1202-1450)
+    import time
+
+    from ..brdf import BRDFLambert
+    from ..camera import CameraOnASphere, generate_rays
+    from ..ops.fused_dvr import fused_trace_dvr
+    from ..raytracer.dvr import (RayEvaluationSteppingDvr,
+                                 max_steps_bound, trace_dvr)
+    from ..train.losses import ssim
+    from ..transfer import TransferFunctionPiecewiseLinear
+
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.9, 0.6, 0.3], [0.4, 0.6, 1.0]], opacity=[2.0, 20.0],
+        positions=[0.0, 1.0])
+    brdf = BRDFLambert.make(light=(0.3, -0.8, 0.5), ambient=0.3)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=1 / 128,
+                                        enable_early_out=False,
+                                        need_normals=True)
+    steps = max_steps_bound((1.0, 1.0, 1.0), 1 / 128)
+    cam = CameraOnASphere.make(pitch=0.35, yaw=0.8, distance=1.6)
+    rs, rd = generate_rays(cam, 128, 128)
+    rs = jnp.reshape(rs, (-1, 3))
+    rd = jnp.reshape(rd, (-1, 3))
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    @jax.jit
+    def render_fused(net, tft):
+        return fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
+            stepsize=1 / 128, max_steps=steps, seg=16, tile=128,
+            enable_early_out=False, need_normals=True, brdf=brdf,
+            interpret=not on_tpu).color
+
+    fused_img = np.asarray(render_fused(net, tf.tensor))
+    t0 = time.perf_counter()
+    fused_img = np.asarray(render_fused(net, tf.tensor))
+    fused_ms = (time.perf_counter() - t0) * 1e3
+    nv = VolumeInterpolationNetwork.make(net)
+    plain_img = np.asarray(trace_dvr(rs, rd, nv, tf, cfg, steps,
+                                     brdf=brdf).color)
+    a = jnp.moveaxis(jnp.asarray(fused_img).reshape(1, 128, 128, 4),
+                     -1, 1)
+    b = jnp.moveaxis(jnp.asarray(plain_img).reshape(1, 128, 128, 4),
+                     -1, 1)
+    s = float(ssim(a, b))
+    print(f"[shaded DVR] fused in-kernel-adjoint render: {fused_ms:.1f} "
+          f"ms at 128^2, SSIM vs plain {s:.4f}", flush=True)
     return 0
 
 

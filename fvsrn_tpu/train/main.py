@@ -57,6 +57,9 @@ def init_parser() -> argparse.ArgumentParser:
                         "per-voxel loss grid")
     g.add_argument("--screen_cameras", type=int, default=16)
     g.add_argument("--screen_size", type=int, default=64)
+    g.add_argument("--data_parallel", type=int, default=0,
+                   help="screen mode: shard camera minibatches over N "
+                        "devices (0 = single device)")
 
     g = p.add_argument_group("Optimization (reference: optimizer.py)")
     g.add_argument("-o", "--optimizer", default="Adam")
@@ -215,10 +218,19 @@ def run(opt: dict) -> dict:
         ds = build_screen_dataset(
             volume, tf, ray_config, num_cameras=opt["screen_cameras"],
             width=opt["screen_size"], height=opt["screen_size"])
-        net, hist = train_screen(
-            net, ds, tf, ray_config, loss, optimizer,
-            epochs=opt["epochs"],
-            callback=lambda e, nw, lv: epoch_cb(e, nw, lv))
+        if opt.get("data_parallel"):
+            from ..parallel.mesh import make_mesh
+            from .screen import train_screen_dp
+            net, hist = train_screen_dp(
+                net, ds, tf, ray_config, loss, optimizer,
+                epochs=opt["epochs"],
+                mesh=make_mesh(opt["data_parallel"]),
+                callback=lambda e, nw, lv: epoch_cb(e, nw, lv))
+        else:
+            net, hist = train_screen(
+                net, ds, tf, ray_config, loss, optimizer,
+                epochs=opt["epochs"],
+                callback=lambda e, nw, lv: epoch_cb(e, nw, lv))
 
     ck.save_weights(net, max(len(history) - 1, 0))
     ck.close()

@@ -178,3 +178,62 @@ def train_screen(network, dataset: ScreenDataset, tf,
             raise FloatingPointError(
                 f"screen training loss became non-finite at epoch {e}")
     return network, history
+
+
+def train_screen_dp(network, dataset: ScreenDataset, tf,
+                    config: RayEvaluationSteppingDvr,
+                    loss: LossNetScreen,
+                    optimizer: optax.GradientTransformation,
+                    *, epochs: int, mesh, axis: str = "data",
+                    max_steps: Optional[int] = None, key=None,
+                    use_fused: bool = False, fused_kwargs=None,
+                    callback=None):
+    """Data-parallel screen-space epoch loop (BASELINE config 4): each
+    step shards one camera minibatch of ``mesh`` size over the data
+    axis via :func:`fvsrn_tpu.parallel.train_step.make_dp_screen_train_step`
+    (params replicated, gradients pmean'd; identical update to the
+    single-device step on the full batch -- tests/test_parallel.py).
+
+    Returns (network, history)."""
+    from ..parallel.mesh import replicate, shard_batch
+    from ..parallel.train_step import make_dp_screen_train_step
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_dev = mesh.shape[axis]
+    n_cams = dataset.ray_start.shape[0]
+    if n_cams % n_dev:
+        raise ValueError(f"need cameras ({n_cams}) divisible by the "
+                         f"mesh axis ({n_dev})")
+    if max_steps is None:
+        max_steps = max_steps_bound(
+            (1.0, 1.0, 1.0), float(np.asarray(config.stepsize)))
+    step = make_dp_screen_train_step(
+        mesh, tf, config, loss, optimizer, width=dataset.width,
+        height=dataset.height, max_steps=max_steps, axis=axis,
+        use_fused=use_fused, fused_kwargs=fused_kwargs)
+    network = replicate(mesh, network)
+    opt_state = replicate(mesh, optimizer.init(network))
+    rs_all = np.asarray(dataset.ray_start)
+    rd_all = np.asarray(dataset.ray_dir)
+    tgt_all = np.asarray(dataset.targets)
+    history = []
+    for e in range(epochs):
+        key, sub = jax.random.split(key)
+        perm = np.asarray(jax.random.permutation(sub, n_cams))
+        totals = []
+        for i in range(0, n_cams, n_dev):
+            idx = perm[i:i + n_dev]
+            network, opt_state, total = step(
+                network, opt_state,
+                shard_batch(mesh, jnp.asarray(rs_all[idx])),
+                shard_batch(mesh, jnp.asarray(rd_all[idx])),
+                shard_batch(mesh, jnp.asarray(tgt_all[idx])))
+            totals.append(float(total))
+        history.append(float(np.mean(totals)))
+        if callback is not None:
+            callback(e, network, history[-1])
+        if not np.isfinite(history[-1]):
+            raise FloatingPointError(
+                f"screen DP training loss became non-finite at epoch {e}")
+    return network, history

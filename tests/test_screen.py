@@ -64,3 +64,20 @@ def test_screen_loss_multiply_alpha(rng):
     la = float(loss(pred_a, ref0))
     lb = float(loss(pred_b, ref0))
     np.testing.assert_allclose(la, lb, atol=1e-6)
+
+
+def test_train_screen_dp_loss_drops():
+    """DP screen training (camera-sharded epoch loop, BASELINE config 4)
+    fits and the loss drops; runs through the train CLI flag."""
+    import tempfile
+    from fvsrn_tpu.train.main import run
+    from fvsrn_tpu.eval.sweep import default_options
+    opt = default_options("IMPLICIT:SPHERE",
+                          tempfile.mktemp(suffix=".hdf5"))
+    opt.update(mode="screen", screen_cameras=8, screen_size=16,
+               epochs=3, data_parallel=8, lr=5e-3,
+               volumetric_features_channels=0,
+               volumetric_features_resolution=0)
+    result = run(opt)
+    h = result["history"]
+    assert len(h) == 3 and h[-1] < h[0]
