@@ -650,6 +650,36 @@ def _apply_act(name: str, x: Array, p: float) -> Array:
     raise ValueError(name)
 
 
+def _act_value_deriv(name: str, x: Array, p: float):
+    """(activation, d activation/dx) with SHARED trig range reduction --
+    the activation stash path computes both in the forward for ~0.5
+    extra polynomial evaluations instead of a full second transcendental
+    in the backward (the reference's adjoint recomputes, tensorcores.cuh;
+    we trade a small HBM stash for the recompute)."""
+    if name not in ("ReLU", "None") and x.dtype == jnp.bfloat16:
+        return _act_value_deriv(name, x.astype(jnp.float32), p)
+    if name == "ReLU":
+        return jnp.maximum(x, 0.0), (x > 0).astype(x.dtype)
+    if name == "Sine":
+        s, c = _fast_sincos(p * x)
+        return s, p * c
+    if name == "Sigmoid":
+        s = jax.nn.sigmoid(x)
+        return s, s * (1.0 - s)
+    if name == "Softplus":
+        return jax.nn.softplus(x), jax.nn.sigmoid(x)
+    if name == "Snake":
+        s, c = _fast_sincos(p * x)
+        return x + s * s / p, 1.0 + 2.0 * s * c
+    if name == "SnakeAlt":
+        s2, c2 = _fast_sincos(2.0 * p * x)
+        return ((x + 1.0 - c2) / (2.0 * p),
+                (1.0 + 2.0 * p * s2) / (2.0 * p))
+    if name == "None":
+        return x, jnp.ones_like(x)
+    raise ValueError(name)
+
+
 def _act_deriv(name: str, x: Array, p: float) -> Array:
     """d activation / d preactivation, f32 in/out (hand adjoints shared by
     the backward kernel and the in-kernel normal sweep; reference:
@@ -698,11 +728,14 @@ def _apply_output_T(mode: str, y: Array):
 def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
                    w1lat, b1, hw, hb, w_out, b_out,
                    *, activation, act_param, output_mode, compute_dtype,
-                   want_pack: bool = False):
+                   want_pack: bool = False, want_stash: bool = False):
     """Transposed MLP: x (3, N), dirs (3, N)|None, lat (CL, N)|None ->
     (out (C_out, N), dvalue_dy|None, pack|None). ``pack`` holds the
     intermediates (pres, sinf, cosf) for the in-kernel position-gradient
-    sweep (:func:`_mlp_position_grad_T`)."""
+    sweep (:func:`_mlp_position_grad_T`). ``want_stash`` instead returns
+    (hs, dacts, sinf, cosf) -- post-activations + activation derivatives
+    (computed with the SHARED range reduction, :func:`_act_value_deriv`)
+    for the activation-stash backward."""
     cd = compute_dtype
 
     def mm(a, b):
@@ -722,17 +755,32 @@ def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
         h += mm(w1lat, lat)
     h += b1.astype(jnp.float32)
     pres = [h]
+    hs = []
+    dacts = []
+
     # activations in the compute dtype: bf16 packs 2 lanes/transcendental
     # (the reference evaluates them in fp16 on the SFU too,
     # renderer_activations.cuh half2 paths)
-    h = _apply_act(activation, h.astype(cd), act_param)
+    def act(pre):
+        if want_stash:
+            v, d = _act_value_deriv(activation, pre.astype(cd), act_param)
+            hs.append(v)
+            dacts.append(d)
+            return v
+        return _apply_act(activation, pre.astype(cd), act_param)
+
+    h = act(h)
     for k in range(len(hw)):
         pre = mm(hw[k], h) + hb[k].astype(jnp.float32)
         pres.append(pre)
-        h = _apply_act(activation, pre.astype(cd), act_param)
+        h = act(pre)
     y = mm(w_out, h) + b_out.astype(jnp.float32)  # (C_out, N)
     out, dv_dy = _apply_output_T(output_mode, y)
-    pack = (pres, sinf, cosf) if want_pack else None
+    pack = None
+    if want_pack:
+        pack = (pres, sinf, cosf)
+    elif want_stash:
+        pack = (hs, dacts, sinf, cosf)
     return out, dv_dy, pack
 
 
@@ -1010,6 +1058,14 @@ def _latent_features(x, lat_ref, lrow_ref, *, has_latent, latent_table,
     return lat_ref[0], None, None, None
 
 
+def _stash_rows(num_fourier: int, hidden: int, n_hidden: int) -> int:
+    """Row count of the activation stash written by the forward kernel
+    for the stash backward: [sinf | cosf] (each padded to 8 rows) +
+    post-activations + activation derivatives per layer."""
+    f8 = -(-num_fourier // 8) * 8
+    return 2 * f8 + 2 * (n_hidden + 1) * hidden
+
+
 def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
                     n_hidden: int, activation: str, act_param: float,
                     output_mode: str, has_latent: bool,
@@ -1022,7 +1078,8 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
                     latent_boxfeat: tuple = (),
                     has_direction: bool = False,
                     need_normals: bool = False,
-                    brdf: tuple = ()):
+                    brdf: tuple = (),
+                    want_stash: bool = False):
     """One (ray-tile, segment) program in transposed layout.
 
     s (1, 1) scalar segment index (SMEM); rays (8, tile) packet
@@ -1060,6 +1117,7 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
     bout_ref = rest_refs[2 * n_hidden + 1]
     tf_ref = rest_refs[2 * n_hidden + 2]
     out_ref = rest_refs[2 * n_hidden + 3]
+    stash_ref = rest_refs[2 * n_hidden + 4] if want_stash else None
     rgbo = not output_mode.startswith("density")
 
     s = s_ref[0, 0].astype(jnp.float32)
@@ -1104,8 +1162,35 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
         [w[:] for w in hw], [b[:] for b in hb], wout_ref[:], bout_ref[:],
         activation=activation, act_param=act_param,
         output_mode=output_mode, compute_dtype=compute_dtype,
-        want_pack=need_normals)
+        want_pack=need_normals, want_stash=want_stash)
     # value: (C_out, N)
+
+    if want_stash:
+        # activation stash for the zero-trig backward (see
+        # :func:`_stash_rows` for the layout)
+        hs_s, dacts_s, sinf_s, cosf_s = pack
+        f32 = jnp.float32
+        fcount = sinf_s.shape[0]
+        f8 = -(-fcount // 8) * 8
+        hcount = hs_s[0].shape[0]
+        assert hcount % 8 == 0, "stash path needs hidden % 8 == 0"
+
+        def pad8(a):
+            if a.shape[0] == f8:
+                return a.astype(f32)
+            return jnp.concatenate(
+                [a.astype(f32),
+                 jnp.zeros((f8 - a.shape[0], a.shape[1]), f32)], axis=0)
+
+        stash_ref[0:f8, :] = pad8(sinf_s)
+        stash_ref[f8:2 * f8, :] = pad8(cosf_s)
+        off = 2 * f8
+        for hval in hs_s:
+            stash_ref[off:off + hcount, :] = hval.astype(f32)
+            off += hcount
+        for dval in dacts_s:
+            stash_ref[off:off + hcount, :] = dval.astype(f32)
+            off += hcount
 
     grad2 = None
     if need_normals:
@@ -1330,6 +1415,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                     need_normals: bool = False,
                     brdf=None,
                     time=0.0, ensemble=0.0,
+                    stash_backward: bool = False,
                     interpret: bool = False):
     """Fused DVR through an SRN. Returns rgba (R, 4), or a
     ``RayEvaluationOutput`` (color, blended normal, depth) when
@@ -1790,8 +1876,38 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
             if slots * 2 <= seg:
                 compact_slots = slots
 
+        # activation-stash backward (OFF by default -- a measured dead
+        # end on v5e, PERF.md): the forward kernel additionally emits
+        # per-layer activations + derivatives and the fourier sincos,
+        # making the backward transcendental-free; but streaming the
+        # ~900 B/sample stash through HBM costs ~2x the VPU trig it
+        # saves (0.68 s vs 0.52 s fwd+bwd at the flagship). Kept behind
+        # ``stash_backward=True`` for parts with different
+        # bandwidth/compute ratios.
+        hidden_n = int(weights.b1.shape[0])
+        stash_rows = 0
+        if stash_backward and hidden_n % 8 == 0:
+            stash_rows = _stash_rows(int(weights.fourier.shape[0]),
+                                     hidden_n, n_hidden)
+        if stash_rows:
+            kernel_fwd_diff = functools.partial(
+                _segment_kernel, n_hidden=n_hidden, want_stash=True,
+                **static_kwargs)
+            grid_spec_diff = pl.GridSpec(
+                grid=(n_tiles,),
+                in_specs=in_specs,
+                out_specs=(
+                    pl.BlockSpec((crows, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((stash_rows, n_samples),
+                                 lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)))
+        else:
+            kernel_fwd_diff = kernel
+            grid_spec_diff = grid_spec
+
         seg_op = make_segment_op(
-            kernel_fwd=kernel, grid_spec_fwd=grid_spec,
+            kernel_fwd=kernel_fwd_diff, grid_spec_fwd=grid_spec_diff,
             r_total=r_total, n_tiles=n_tiles, n_samples=n_samples,
             seg=seg, tile=tile, cl=cl, use_table=use_table,
             has_latent=has_latent, n_hidden=n_hidden,
@@ -1800,7 +1916,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
             compact_slots=compact_slots,
             table_shape=(p6.shape if boxfeat_t
                          else None if table is None else table.shape),
-            table_dtype=table_dtype)
+            table_dtype=table_dtype, stash_rows=stash_rows)
 
         if boxfeat_t:
             p6_ng = jax.lax.stop_gradient(p6)

@@ -53,7 +53,8 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
                         latent_boxfeat: tuple = (),
                         has_direction: bool = False,
                         need_normals: bool = False,
-                        brdf: tuple = ()):
+                        brdf: tuple = (),
+                        want_stash: bool = False):
     """Backward of one (ray-tile, segment) program.
 
     Inputs mirror the forward kernel plus ``dcarry`` (8, tile), the
@@ -79,6 +80,10 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         refs = refs[1:]
     else:
         rows_ref = None
+    stash_ref = None
+    if want_stash:
+        stash_ref = refs[0]
+        refs = refs[1:]
     assert not need_normals and not brdf, \
         "differentiable fused path has no normal/shading support"
     carry_ref, dcarry_ref = refs[0], refs[1]
@@ -155,23 +160,45 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         grid_sizes=grid_sizes, compute_dtype=compute_dtype,
         latent_boxfeat=latent_boxfeat, base_ref=base_ref)
 
-    fr = mm(fourier_ref[:], x)                 # (F, N)
-    if has_direction:
-        fr += mm(fdir_ref[:], dirs)
-    sinf, cosf = _fast_sincos(fr)
-    pre1 = mm(w1pos_ref[:], x) + mm(w1cos_ref[:], cosf) \
-        + mm(w1sin_ref[:], sinf)
-    if has_direction:
-        pre1 += mm(w1dir_ref[:], dirs)
-    if lat is not None:
-        pre1 += mm(w1lat_ref[:], lat)
-    pre1 += b1_ref[:].astype(f32)
-    hs = [_apply_act(activation, pre1, act_param)]
-    pres = [pre1]
-    for k in range(n_hidden):
-        pre = mm(hw[k][:], hs[-1]) + hb[k][:].astype(f32)
-        pres.append(pre)
-        hs.append(_apply_act(activation, pre, act_param))
+    if want_stash:
+        # zero-transcendental replay: the forward stashed the fourier
+        # sincos, post-activations, and activation derivatives (layout:
+        # fused_dvr._stash_rows); only the cheap output head is redone
+        st = stash_ref[:]
+        fcount = fourier_ref.shape[0]
+        f8 = -(-fcount // 8) * 8
+        hcount = b1_ref.shape[0]
+        sinf = st[0:fcount, :]
+        cosf = st[f8:f8 + fcount, :]
+        off = 2 * f8
+        hs = []
+        dacts = []
+        for _k in range(n_hidden + 1):
+            hs.append(st[off:off + hcount, :])
+            off += hcount
+        for _k in range(n_hidden + 1):
+            dacts.append(st[off:off + hcount, :])
+            off += hcount
+        pres = None
+    else:
+        fr = mm(fourier_ref[:], x)                 # (F, N)
+        if has_direction:
+            fr += mm(fdir_ref[:], dirs)
+        sinf, cosf = _fast_sincos(fr)
+        pre1 = mm(w1pos_ref[:], x) + mm(w1cos_ref[:], cosf) \
+            + mm(w1sin_ref[:], sinf)
+        if has_direction:
+            pre1 += mm(w1dir_ref[:], dirs)
+        if lat is not None:
+            pre1 += mm(w1lat_ref[:], lat)
+        pre1 += b1_ref[:].astype(f32)
+        hs = [_apply_act(activation, pre1, act_param)]
+        pres = [pre1]
+        for k in range(n_hidden):
+            pre = mm(hw[k][:], hs[-1]) + hb[k][:].astype(f32)
+            pres.append(pre)
+            hs.append(_apply_act(activation, pre, act_param))
+        dacts = None
     y = mm(wout_ref[:], hs[-1]) + bout_ref[:].astype(f32)  # (1, N)
     if output_mode == "density:direct":
         value = jnp.clip(y, 0.0, 1.0)
@@ -321,11 +348,13 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     dbout_ref[:] += jnp.sum(d_y, axis=1, keepdims=True)
     dh = mm(wout_ref[:].T, d_y)
     for k in reversed(range(n_hidden)):
-        dpre = dh * _act_deriv(activation, pres[k + 1], act_param)
+        dpre = dh * (dacts[k + 1] if want_stash
+                     else _act_deriv(activation, pres[k + 1], act_param))
         dhw[k][:] += mm_ct(dpre, hs[k])
         dhb[k][:] += jnp.sum(dpre, axis=1, keepdims=True)
         dh = mm(hw[k][:].T, dpre)
-    dpre1 = dh * _act_deriv(activation, pres[0], act_param)
+    dpre1 = dh * (dacts[0] if want_stash
+                  else _act_deriv(activation, pres[0], act_param))
     db1_ref[:] += jnp.sum(dpre1, axis=1, keepdims=True)
     dw1pos_ref[:] += mm_ct(dpre1, x)
     dw1cos_ref[:] += mm_ct(dpre1, cosf)
@@ -422,7 +451,7 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
                     n_samples, seg, tile, cl, use_table, has_latent,
                     n_hidden, kernel_kwargs, lat_shape, lat_dtype,
                     interpret, compact_slots=0, table_shape=None,
-                    table_dtype=None):
+                    table_dtype=None, stash_rows=0):
     """Build the custom-VJP segment op with the hand-written backward
     kernel. Signature (s, rays, lat, carry, weights, tf_pad) ->
     carry_out; with ``compact_slots`` > 0 it is (s, rays, lat, rows,
@@ -438,19 +467,39 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
     boxfeat = tuple(kernel_kwargs.get("latent_boxfeat", ()) or ())
     bf_rows = boxfeat[3] * boxfeat[4] if boxfeat else 0
 
-    fwd_call = pl.pallas_call(
+    if stash_rows:
+        # activation-stash path: the forward kernel also emits the
+        # per-layer activations/derivatives + fourier sincos, so the
+        # backward kernel runs with ZERO transcendentals (no replay)
+        out_shape = (jax.ShapeDtypeStruct((8, r_total), dtype),
+                     jax.ShapeDtypeStruct((n_tiles * stash_rows,
+                                           n_samples), dtype))
+    else:
+        out_shape = jax.ShapeDtypeStruct((8, r_total), dtype)
+    fwd_call_raw = pl.pallas_call(
         kernel_fwd,
         grid_spec=grid_spec_fwd,
-        out_shape=jax.ShapeDtypeStruct((8, r_total), dtype),
+        out_shape=out_shape,
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if stash_rows else None),
         interpret=interpret,
     )
+
+    def fwd_call2(*args):
+        out = fwd_call_raw(*args)
+        return out if stash_rows else (out, None)
+
+    def fwd_call(*args):
+        return fwd_call2(*args)[0]
 
     kernel_bwd = functools.partial(_segment_bwd_kernel,
                                    n_hidden=n_hidden,
                                    compact_slots=compact_slots,
+                                   want_stash=bool(stash_rows),
                                    **kernel_kwargs)
 
-    def _run_bwd(s_arr, rays, lat, rows, carry, d_out, wlist):
+    def _run_bwd(s_arr, rays, lat, rows, carry, d_out, wlist,
+                 stash=None):
         if boxfeat:
             lat_spec = pl.BlockSpec((bf_rows, 128), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -484,6 +533,11 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
                                          lambda i: (i, 0, 0),
                                          memory_space=pltpu.VMEM))
             ins.append(rows)
+        if stash is not None:
+            in_specs.append(pl.BlockSpec((stash_rows, n_samples),
+                                         lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+            ins.append(stash)
         in_specs += [tile_spec, tile_spec]           # carry, dcarry
         ins += [carry, d_out]
         in_specs += [
@@ -594,17 +648,17 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
 
         def segment_fwd(s_arr, rays, sub, base_pack, gr_f, table, carry,
                         weights, tf_pad):
-            out = fwd_call(s_arr, rays, sub, base_pack, carry,
-                           *weights_list(weights, tf_pad))
+            out, stash = fwd_call2(s_arr, rays, sub, base_pack, carry,
+                                   *weights_list(weights, tf_pad))
             return out, (s_arr, rays, sub, base_pack, gr_f, carry,
-                         weights, tf_pad)
+                         weights, tf_pad, stash)
 
         def segment_bwd(res, d_out):
             (s_arr, rays, sub, base_pack, gr_f, carry, weights,
-             tf_pad) = res
+             tf_pad, stash) = res
             wlist = weights_list(weights, tf_pad)
             outs = _run_bwd(s_arr, rays, sub, base_pack, carry, d_out,
-                            wlist)
+                            wlist, stash=stash)
             d_sub, d_carry = outs[0], outs[1]
             d_weights, d_tf = _unpack_dw(list(outs[2:]), weights)
             idx = gr_f.reshape(-1).astype(jnp.int32)
@@ -631,15 +685,17 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
 
         def segment_fwd(s_arr, rays, sub, lrow, gr_f, table, carry,
                         weights, tf_pad):
-            out = fwd_call(s_arr, rays, sub, lrow, carry,
-                           *weights_list(weights, tf_pad))
+            out, stash = fwd_call2(s_arr, rays, sub, lrow, carry,
+                                   *weights_list(weights, tf_pad))
             return out, (s_arr, rays, sub, lrow, gr_f, carry, weights,
-                         tf_pad)
+                         tf_pad, stash)
 
         def segment_bwd(res, d_out):
-            s_arr, rays, sub, lrow, gr_f, carry, weights, tf_pad = res
+            (s_arr, rays, sub, lrow, gr_f, carry, weights, tf_pad,
+             stash) = res
             wlist = weights_list(weights, tf_pad)
-            outs = _run_bwd(s_arr, rays, sub, lrow, carry, d_out, wlist)
+            outs = _run_bwd(s_arr, rays, sub, lrow, carry, d_out, wlist,
+                            stash=stash)
             d_sub, d_carry = outs[0], outs[1]
             d_weights, d_tf = _unpack_dw(list(outs[2:]), weights)
             idx = gr_f.reshape(-1).astype(jnp.int32)
@@ -666,14 +722,16 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
 
         def segment_fwd(s_arr, rays, lat, rows, table, carry, weights,
                         tf_pad):
-            out = fwd_call(s_arr, rays, lat, carry,
-                           *weights_list(weights, tf_pad))
-            return out, (s_arr, rays, lat, rows, carry, weights, tf_pad)
+            out, stash = fwd_call2(s_arr, rays, lat, carry,
+                                   *weights_list(weights, tf_pad))
+            return out, (s_arr, rays, lat, rows, carry, weights, tf_pad,
+                         stash)
 
         def segment_bwd(res, d_out):
-            s_arr, rays, lat, rows, carry, weights, tf_pad = res
+            s_arr, rays, lat, rows, carry, weights, tf_pad, stash = res
             wlist = weights_list(weights, tf_pad)
-            outs = _run_bwd(s_arr, rays, lat, rows, carry, d_out, wlist)
+            outs = _run_bwd(s_arr, rays, lat, rows, carry, d_out, wlist,
+                            stash=stash)
             d_slot, slot_rows, d_carry = outs[0], outs[1], outs[2]
             d_weights, d_tf = _unpack_dw(list(outs[3:]), weights)
             idx = slot_rows.reshape(-1).astype(jnp.int32)
@@ -696,14 +754,15 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
     segment = jax.custom_vjp(segment)
 
     def segment_fwd(s_arr, rays, lat, carry, weights, tf_pad):
-        out = fwd_call(s_arr, rays, lat, carry,
-                       *weights_list(weights, tf_pad))
-        return out, (s_arr, rays, lat, carry, weights, tf_pad)
+        out, stash = fwd_call2(s_arr, rays, lat, carry,
+                               *weights_list(weights, tf_pad))
+        return out, (s_arr, rays, lat, carry, weights, tf_pad, stash)
 
     def segment_bwd(res, d_out):
-        s_arr, rays, lat, carry, weights, tf_pad = res
+        s_arr, rays, lat, carry, weights, tf_pad, stash = res
         wlist = weights_list(weights, tf_pad)
-        outs = _run_bwd(s_arr, rays, lat, None, carry, d_out, wlist)
+        outs = _run_bwd(s_arr, rays, lat, None, carry, d_out, wlist,
+                        stash=stash)
         d_lat, d_carry = outs[0], outs[1]
         d_weights, d_tf = _unpack_dw(list(outs[2:]), weights)
         return (jnp.zeros((1, 1), jnp.float32), jnp.zeros_like(rays),

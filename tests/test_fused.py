@@ -892,3 +892,28 @@ def test_quantized_plans_stable_across_cameras():
         assert plan.dead == 0  # dead tiles fold into the first bucket
         statics.add((plan.group_sizes, plan.group_steps))
     assert len(statics) == 1, statics
+
+
+def test_stash_backward_matches_replay_backward():
+    """The activation-stash backward (stash_backward=True; measured
+    dead end on v5e, kept for parts with other bandwidth/compute
+    ratios) produces the same gradients as the replay backward."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(9).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss(net, stash):
+        c = fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+            enable_early_out=False, differentiable=True,
+            latent_mode="boxfeat", stash_backward=stash, interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    g_s = jax.grad(lambda n: loss(n, True))(net)
+    g_r = jax.grad(lambda n: loss(n, False))(net)
+    for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
