@@ -1416,6 +1416,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                     brdf=None,
                     time=0.0, ensemble=0.0,
                     stash_backward: bool = False,
+                    segment_remat: bool = False,
                     interpret: bool = False):
     """Fused DVR through an SRN. Returns rgba (R, 4), or a
     ``RayEvaluationOutput`` (color, blended normal, depth) when
@@ -1967,9 +1968,16 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                 s_arr = jnp.reshape(s, (1, 1)).astype(jnp.float32)
                 return seg_op(s_arr, rays_packet, lat, carry, weights,
                               tf_pad), None
+        # default: NO jax.checkpoint on the segment scan -- the
+        # custom-vjp residuals are small (the gathered sub-box rows +
+        # the (8, R) carry per segment, ~10 MB/seg at the flagship), so
+        # letting the scan stack them is ~free in HBM while
+        # rematerialization (segment_remat=True) re-runs the forward
+        # pallas kernel once per segment in the backward -- measured at
+        # ~40% of the whole backward pass (profile in PERF.md)
+        body_fn = jax.checkpoint(body) if segment_remat else body
         carry, _ = jax.lax.scan(
-            jax.checkpoint(body), carry0,
-            jnp.arange(n_seg, dtype=jnp.int32))
+            body_fn, carry0, jnp.arange(n_seg, dtype=jnp.int32))
     else:
         def cond(state):
             s, carry = state
