@@ -83,11 +83,12 @@ class PhaseFunctionHenyeyGreenstein:
         return -cos_theta
 
     def sample(self, key: Array, dir_in: Array, pos=None,
-               b: int = 0) -> Array:
-        k1, k2 = jax.random.split(key)
-        shape = dir_in.shape[:-1]
-        u = jax.random.uniform(k1, shape)
-        u_phi = jax.random.uniform(k2, shape)
+               b: int = 0, u: Array = None, u_phi: Array = None) -> Array:
+        if u is None or u_phi is None:
+            k1, k2 = jax.random.split(key)
+            shape = dir_in.shape[:-1]
+            u = jax.random.uniform(k1, shape)
+            u_phi = jax.random.uniform(k2, shape)
         return direction_from_angle(dir_in, self.sample_angle(u, b), u_phi)
 
 
@@ -116,9 +117,10 @@ class PhaseFunctionRayleigh:
         return a + b_
 
     def sample(self, key: Array, dir_in: Array, pos=None,
-               b: int = 0) -> Array:
-        k1, k2 = jax.random.split(key)
-        shape = dir_in.shape[:-1]
-        u = jax.random.uniform(k1, shape)
-        u_phi = jax.random.uniform(k2, shape)
+               b: int = 0, u: Array = None, u_phi: Array = None) -> Array:
+        if u is None or u_phi is None:
+            k1, k2 = jax.random.split(key)
+            shape = dir_in.shape[:-1]
+            u = jax.random.uniform(k1, shape)
+            u_phi = jax.random.uniform(k2, shape)
         return direction_from_angle(dir_in, self.sample_angle(u, b), u_phi)

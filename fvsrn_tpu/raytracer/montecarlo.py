@@ -76,9 +76,40 @@ class _DeltaResult(NamedTuple):
     hit_normal: Array    # (..., 3)
 
 
+def _ray_keys(key: Array, ray_id: Array):
+    flat = ray_id.reshape(-1)
+    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, flat)
+
+
+def ray_uniform(key: Array, ray_id: Array, dtype, minval=0.0) -> Array:
+    """Counter-based per-ray uniform draw (the role of the reference's
+    per-thread cuRAND XORWOW, renderer_sampler_curand.cuh:21-40): the
+    value for a ray depends only on (key, ray_id), so results are
+    IDENTICAL under any sharding/batching of the ray set -- the
+    multi-host determinism contract of the MC evaluator
+    (tests/test_mc.py, tests/test_parallel.py). Returns ray_id.shape+(1,)."""
+    ks = _ray_keys(key, ray_id)
+    u = jax.vmap(lambda k: jax.random.uniform(k, (), dtype,
+                                              minval=minval))(ks)
+    return u.reshape(ray_id.shape + (1,))
+
+
+def ray_normal3(key: Array, ray_id: Array, dtype) -> Array:
+    """Per-ray 3D standard normal (see :func:`ray_uniform`)."""
+    ks = _ray_keys(key, ray_id)
+    g = jax.vmap(lambda k: jax.random.normal(k, (3,), dtype))(ks)
+    return g.reshape(ray_id.shape + (3,))
+
+
+def _default_ray_id(lead) -> Array:
+    n = int(np.prod(lead)) if lead else 1
+    return jnp.arange(n, dtype=jnp.uint32).reshape(lead)
+
+
 def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
                    volume: Any, tf: Any, config: RayEvaluationMonteCarlo,
-                   need_normals: bool = True, b: int = 0) -> _DeltaResult:
+                   need_normals: bool = True, b: int = 0,
+                   ray_id: Optional[Array] = None) -> _DeltaResult:
     """Woodcock/delta tracking (reference: renderer_ray_evaluation_
     monte_carlo.cuh:75-153 ``deltaTracking``): free-flight sampling against
     the majorant ``max_absorption``; a tentative collision is real with
@@ -87,6 +118,8 @@ def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
     (t_out=t)."""
     dtype = ray_start.dtype
     lead = ray_start.shape[:-1]
+    if ray_id is None:
+        ray_id = _default_ray_id(lead)
     inv_major = 1.0 / config.max_absorption
     inv_range = 1.0 / (config.density_max - config.density_min)
 
@@ -97,7 +130,7 @@ def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
     def body(state):
         it, key, valid, tcur, t_out, hit_pos, hit_col, hit_nrm = state
         key, k1, k2 = jax.random.split(key, 3)
-        u1 = jax.random.uniform(k1, lead + (1,), dtype, minval=1e-10)
+        u1 = ray_uniform(k1, ray_id, dtype, minval=1e-10)
         tcur = tcur - jnp.log(u1) * inv_major
         position = ray_start + ray_dir * tcur
 
@@ -119,7 +152,7 @@ def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
         density2 = (value - config.density_min) * inv_range
         color = tf.eval_normalized(jnp.clip(density2[..., 0], 0.0, 1.0),
                                    normal, None, 1.0, b=b)
-        u2 = jax.random.uniform(k2, lead + (1,), dtype)
+        u2 = ray_uniform(k2, ray_id, dtype)
         real_hit = require & (color[..., 3:4] * inv_major > u2)
         hit_pos = jnp.where(real_hit, position, hit_pos)
         hit_col = jnp.where(real_hit, color, hit_col)
@@ -140,11 +173,16 @@ def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
 
 
 def sample_light_position(key: Array, config: RayEvaluationMonteCarlo,
-                          shape: tuple, dtype) -> Array:
+                          shape: tuple, dtype,
+                          ray_id: Optional[Array] = None) -> Array:
     """Uniform point on the light sphere's surface
     (reference: cuh:157-176 ``sampleLightPosition``; the rejection loop is
-    replaced by the exact gaussian-normalization sphere sampler)."""
-    g = jax.random.normal(key, shape + (3,), dtype)
+    replaced by the exact gaussian-normalization sphere sampler).
+    ``ray_id``: per-ray counter keys (sharding-invariant draws)."""
+    if ray_id is not None:
+        g = ray_normal3(key, ray_id, dtype)
+    else:
+        g = jax.random.normal(key, shape + (3,), dtype)
     return normalize(g) * config.light_radius + config.light_position
 
 
@@ -183,11 +221,20 @@ def eval_background(ray_start: Array, ray_dir: Array,
 
 def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
              tf: Any, phase: Any, config: RayEvaluationMonteCarlo,
-             b: int = 0) -> RayEvaluationOutput:
+             b: int = 0,
+             ray_id: Optional[Array] = None) -> RayEvaluationOutput:
     """Full path-traced evaluation with next-event estimation to the
-    spherical light (reference: cuh:205-313 ``eval``)."""
+    spherical light (reference: cuh:205-313 ``eval``).
+
+    ``ray_id`` (lead-shaped uint32, default arange): the per-ray PRNG
+    counter -- all draws depend only on (key, ray_id), so a sharded
+    trace with global ray ids reproduces the single-device trace to
+    1-ULP elementwise rounding (multi-host determinism for the allclose
+    gates, SURVEY §7; tests/test_parallel.py)."""
     dtype = ray_start.dtype
     lead = ray_start.shape[:-1]
+    if ray_id is None:
+        ray_id = _default_ray_id(lead)
     tmin, tmax = intersect_aabb(ray_start, ray_dir,
                                 jnp.asarray(volume.box_min, dtype),
                                 jnp.asarray(volume.box_size, dtype))
@@ -205,7 +252,7 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
     for bounce in range(config.num_bounces + 1):
         key, k_walk, k_light, k_shadow, k_dir = jax.random.split(key, 5)
         hit = delta_tracking(k_walk, position, direction, volume, tf,
-                             config, b=b)
+                             config, b=b, ray_id=ray_id)
         any_hit = hit.t_out > 0
         if bounce == 0:
             out_alpha = jnp.where(valid, any_hit.astype(dtype), out_alpha)
@@ -220,18 +267,24 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
             beta)
 
         # 1. direct illumination (NEE): shadow ray to the light sphere
-        light_pos = sample_light_position(k_light, config, lead, dtype)
+        light_pos = sample_light_position(k_light, config, lead, dtype,
+                                          ray_id=ray_id)
         light_dir = normalize(light_pos - hit.hit_position)
         p = phase.prob(direction, light_dir, hit.hit_position, b=b)[..., None]
         shadow = delta_tracking(k_shadow, hit.hit_position, light_dir,
-                                volume, tf, config, need_normals=False, b=b)
+                                volume, tf, config, need_normals=False,
+                                b=b, ray_id=ray_id)
         unoccluded = shadow.t_out <= 0
         contrib = beta * (p * config.light_intensity)
         emission = jnp.where(any_hit & valid & unoccluded,
                              emission + contrib, emission)
 
-        # 2. scatter into the next direction
-        next_dir = phase.sample(k_dir, direction, hit.hit_position, b=b)
+        # 2. scatter into the next direction (per-ray uniforms)
+        ku, kphi = jax.random.split(jax.random.fold_in(k_dir, 7))
+        u_s = ray_uniform(ku, ray_id, dtype)[..., 0]
+        uphi_s = ray_uniform(kphi, ray_id, dtype)[..., 0]
+        next_dir = phase.sample(k_dir, direction, hit.hit_position, b=b,
+                                u=u_s, u_phi=uphi_s)
         pn = phase.prob(direction, next_dir, hit.hit_position, b=b)[..., None]
         go_on = any_hit & valid
         beta = jnp.where(go_on, beta * pn, beta)

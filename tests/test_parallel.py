@@ -232,3 +232,105 @@ def test_cp_render_rejects_early_out():
     cfg = RayEvaluationSteppingDvr.make(stepsize=0.05)
     with pytest.raises(ValueError, match="early_out"):
         make_cp_render(mesh, vol, tf, cfg, 32)
+
+
+def test_mc_sharded_matches_single_bitwise(rng):
+    """Monte-Carlo eval sharded over rays equals the single-device
+    trace: all draws are counter-based on (key, ray_id) (the per-thread
+    cuRAND role, renderer_sampler_curand.cuh), so the PRNG streams are
+    sharding-invariant; only 1-ULP elementwise rounding may differ
+    between the shard-shaped and full-shaped XLA programs."""
+    from jax.sharding import PartitionSpec as P
+    from fvsrn_tpu.phase import PhaseFunctionHenyeyGreenstein
+    from fvsrn_tpu.raytracer.montecarlo import (RayEvaluationMonteCarlo,
+                                                trace_mc)
+    from fvsrn_tpu.transfer import TransferFunctionIdentity
+    mesh = make_mesh(8)
+    vol = VolumeInterpolationImplicit.make("SPHERE")
+    tf = TransferFunctionIdentity.make(absorption=8.0)
+    cfg = RayEvaluationMonteCarlo.make(max_absorption=8.0,
+                                       max_iterations=64, num_bounces=1)
+    phase = PhaseFunctionHenyeyGreenstein.make(g=0.3)
+    cam = CameraOnASphere.make(pitch=0.2, yaw=0.4, distance=1.5)
+    start, direction = generate_rays(cam, 16, 16)
+    rs = jnp.reshape(start, (-1, 3))
+    rd = jnp.reshape(direction, (-1, 3))
+    rid = jnp.arange(rs.shape[0], dtype=jnp.uint32)
+    key = jax.random.PRNGKey(5)
+
+    ref = trace_mc(key, rs, rd, vol, tf, phase, cfg, ray_id=rid)
+
+    def local(rs, rd, rid):
+        out = trace_mc(key, rs, rd, vol, tf, phase, cfg, ray_id=rid)
+        return out.color
+
+    sharded = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False))
+    got = np.asarray(sharded(rs, rd, rid))
+    np.testing.assert_allclose(got, np.asarray(ref.color), atol=2e-6)
+
+
+def test_config5_time_varying_mc_endtoend(rng):
+    """BASELINE config 5 end to end on the virtual mesh: a
+    time/ensemble-keyframed SRN renders through the FUSED path at an
+    interpolated time, and its Monte-Carlo path-traced eval runs
+    rays-sharded over the mesh with sharding-invariant PRNG streams."""
+    from jax.sharding import PartitionSpec as P
+    from fvsrn_tpu.models.network_volume import VolumeInterpolationNetwork
+    from fvsrn_tpu.ops.fused_dvr import fused_trace_dvr
+    from fvsrn_tpu.phase import PhaseFunctionRayleigh
+    from fvsrn_tpu.raytracer.montecarlo import (RayEvaluationMonteCarlo,
+                                                trace_mc)
+    from fvsrn_tpu.transfer import TransferFunctionPiecewiseLinear
+    mesh = make_mesh(8)
+    latent = LatentSpace(
+        time_dependent=True,
+        time_grid=jnp.asarray((rng.standard_normal((3, 8, 8, 8, 8)) * 0.3)
+                              .astype(np.float32)))
+    net = SceneRepresentationNetwork.make(
+        layers="16:16", activation="SnakeAlt:2", num_fourier=4,
+        output_mode="density:direct", latent=latent, seed=4)
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.9, 0.3, 0.2], [0.2, 0.6, 1.0]], opacity=[2.0, 15.0],
+        positions=[0.0, 1.0])
+    t = 1.3
+    cam = CameraOnASphere.make(pitch=0.3, yaw=0.9, distance=1.6)
+    start, direction = generate_rays(cam, 16, 16)
+    rs = jnp.reshape(start, (-1, 3))
+    rd = jnp.reshape(direction, (-1, 3))
+
+    # fused render of the time-conditioned SRN, rays-sharded
+    def render_rays(rs, rd, net, tft):
+        return fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
+            stepsize=1 / 32, max_steps=56, seg=8, tile=32,
+            enable_early_out=False, time=t, interpret=True)
+
+    ref_img = np.asarray(render_rays(rs, rd, net, tf.tensor))
+    sharded_render = make_dp_render(mesh, render_rays)
+    got_img = np.asarray(sharded_render(rs, rd, net, tf.tensor))
+    np.testing.assert_allclose(got_img, ref_img, atol=1e-5)
+    assert ref_img[:, 3].max() > 0.1
+
+    # MC path-traced eval of the same time-conditioned SRN, rays-sharded
+    vol = VolumeInterpolationNetwork.make(net, time=t)
+    cfg = RayEvaluationMonteCarlo.make(
+        max_absorption=float(np.asarray(tf.max_absorption())),
+        max_iterations=32, num_bounces=1)
+    phase = PhaseFunctionRayleigh.make()
+    rid = jnp.arange(rs.shape[0], dtype=jnp.uint32)
+    key = jax.random.PRNGKey(11)
+    ref_mc = np.asarray(trace_mc(key, rs, rd, vol, tf, phase, cfg,
+                                 ray_id=rid).color)
+
+    def local(rs, rd, rid):
+        return trace_mc(key, rs, rd, vol, tf, phase, cfg,
+                        ray_id=rid).color
+
+    sharded_mc = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False))
+    got_mc = np.asarray(sharded_mc(rs, rd, rid))
+    np.testing.assert_allclose(got_mc, ref_mc, atol=2e-6)
+    assert np.isfinite(ref_mc).all()
