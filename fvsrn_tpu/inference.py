@@ -205,6 +205,42 @@ class LoadedModel:
             return lambda: render_plain(vol, self.tf)
         return lambda: render(self.network, self.tf.tensor)
 
+    def render_network_iso(self, camera, width: int, height: int,
+                           iso_config, mode: str = "FUSED",
+                           interpret: bool = False):
+        """Isosurface render of the SRN (reference: the iso ray
+        evaluator over the tensor-core volume). FUSED = fused
+        first-crossing march + per-ray bisection/shading
+        (ops.fused_dvr.fused_trace_iso); PLAIN32 = trace_iso over the
+        plain network volume. Returns (H, W, 4) rgba."""
+        from .raytracer.iso import trace_iso
+        stepsize = float(np.asarray(iso_config.stepsize))
+        steps = max_steps_bound(self.box_size, stepsize)
+        matrix = np.asarray(camera_matrix(camera))
+        rs, rd = generate_rays(matrix, width, height,
+                               camera.fov_y_radians)
+        rs = rs.reshape(-1, 3)
+        rd = rd.reshape(-1, 3)
+        if mode.startswith("FUSED"):
+            from .ops.fused_dvr import fused_trace_iso
+            tile = 128
+            pad = (-rs.shape[0]) % tile
+            if pad:
+                rs = jnp.concatenate([rs, jnp.zeros((pad, 3))], axis=0)
+                rd = jnp.concatenate([rd, jnp.ones((pad, 3))], axis=0)
+            out = fused_trace_iso(
+                rs, rd, self.network, self.box_min, self.box_size,
+                iso_config, max_steps=steps, tile=tile,
+                table_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
+                else jnp.float32, interpret=interpret)
+            color = out.color[:-pad] if pad else out.color
+        else:
+            vol = VolumeInterpolationNetwork.make(
+                self.network, box_min=self.box_min,
+                box_size=self.box_size)
+            color = trace_iso(rs, rd, vol, iso_config, steps).color
+        return color.reshape(height, width, 4)
+
     def _render_volume(self, volume, camera, width, height):
         stepsize = float(np.asarray(self.config.stepsize))
         steps = max_steps_bound(np.asarray(volume.box_size), stepsize)

@@ -541,6 +541,54 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
                          group_specs=tuple(specs), dead=n_dead * tile)
 
 
+def fused_trace_iso(ray_start: Array, ray_dir: Array, net,
+                    box_min, box_size, config, *,
+                    max_steps: int,
+                    seg: Optional[int] = 32, tile: Optional[int] = 256,
+                    latent_mode: str = "table",
+                    table_dtype=jnp.float32, subbox=0,
+                    time=0.0, ensemble=0.0,
+                    interpret: bool = False):
+    """Fused isosurface rendering of an SRN: the fused Pallas march
+    finds the first crossing (the iso epilogue in ``_segment_kernel``;
+    hit rays trip the early-out voting), then bisection refinement and
+    curvature/Lambert shading run per RAY in plain JAX
+    (:func:`fvsrn_tpu.raytracer.iso.refine_and_shade` -- 8-ish network
+    evaluations per ray, not per step, so the kernel only owns the
+    march). The reference serves iso from the same fused kernel
+    (renderer_ray_evaluation_stepping_iso.cuh over the tensor-core
+    volume); this is its two-phase TPU equivalent.
+
+    ``config``: a :class:`fvsrn_tpu.raytracer.iso.RayEvaluationSteppingIso`.
+    With ``latent_mode="boxfeat"`` the march samples the step lattice --
+    compare against ``trace_iso(..., lattice=True)``.
+    Returns ``RayEvaluationOutput``.
+    """
+    from ..models.network_volume import VolumeInterpolationNetwork
+    from ..raytracer.iso import refine_and_shade
+
+    iso = config.isovalue
+    stepsize = float(np.asarray(config.stepsize))
+    dummy_tf = jnp.asarray(
+        [[1.0, 1.0, 1.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0, 1.0]],
+        jnp.float32)
+    raw = fused_trace_dvr(
+        ray_start, ray_dir, net, box_min, box_size, dummy_tf,
+        stepsize=stepsize, max_steps=max_steps, seg=seg, tile=tile,
+        enable_early_out=True, alpha_early_out=0.999,
+        latent_mode=latent_mode, table_dtype=table_dtype, subbox=subbox,
+        time=time, ensemble=ensemble,
+        iso_value=float(np.asarray(iso)), interpret=interpret)
+    depth = raw[:, 0:1]
+    found = raw[:, 3:4] > 0.5
+    vol = VolumeInterpolationNetwork.make(
+        net, box_min=tuple(np.asarray(box_min)),
+        box_size=tuple(np.asarray(box_size)), time=float(time),
+        ensemble=float(ensemble))
+    return refine_and_shade(ray_start, ray_dir, vol, config, depth,
+                            found)
+
+
 def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
                              box_min, box_size, tf_tensor: Array, *,
                              plan: RayBucketPlan, **kwargs):
@@ -1079,7 +1127,8 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
                     has_direction: bool = False,
                     need_normals: bool = False,
                     brdf: tuple = (),
-                    want_stash: bool = False):
+                    want_stash: bool = False,
+                    iso_value=None):
     """One (ray-tile, segment) program in transposed layout.
 
     s (1, 1) scalar segment index (SMEM); rays (8, tile) packet
@@ -1225,6 +1274,27 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
         # first step k0_ray (carried in the tmin packet row); integer
         # compare in f32, exact below 2^24
         valid = valid & (kk.reshape(seg, tile) >= tmin)
+
+    if iso_value is not None:
+        # iso epilogue (reference: renderer_ray_evaluation_stepping_iso
+        # .cuh:48-214 first-hit march): first crossing this segment via
+        # a min-reduction over candidate ts; the found flag rides the
+        # alpha carry row so the standard early-out voting stops hit
+        # rays. Bisection refinement + shading run OUTSIDE the kernel
+        # on the per-ray hits (fused_trace_iso) -- per ray, not per
+        # step, so plain JAX is cheap there.
+        v2i = value.reshape(seg, tile)
+        inside = valid & (v2i > iso_value)
+        tcand = jnp.where(inside, tval2, jnp.float32(3.0e38))
+        t_hit = jnp.min(tcand, axis=0, keepdims=True)      # (1, tile)
+        found_prev = carry[3:4, :] > 0.5
+        hit_new = (~found_prev) & (t_hit < 1.0e38)
+        depth_row = jnp.where(hit_new, t_hit, carry[0:1, :])
+        found_row = jnp.where(hit_new, 1.0,
+                              found_prev.astype(jnp.float32))
+        out_ref[:] = jnp.concatenate(
+            [depth_row, carry[1:3, :], found_row, carry[4:8, :]], axis=0)
+        return
 
     inv_range = 1.0 / (density_max - density_min)
     if rgbo:
@@ -1417,6 +1487,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                     time=0.0, ensemble=0.0,
                     stash_backward: bool = False,
                     segment_remat: bool = False,
+                    iso_value=None,
                     interpret: bool = False):
     """Fused DVR through an SRN. Returns rgba (R, 4), or a
     ``RayEvaluationOutput`` (color, blended normal, depth) when
@@ -1601,6 +1672,9 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         n_seg = bf_spec.n_seg
 
     rgbo = not net.output_mode.startswith("density")
+    if iso_value is not None and (differentiable or need_normals or rgbo):
+        raise ValueError("fused iso marching: forward-only density "
+                         "networks (shading happens outside the kernel)")
     if differentiable and (need_normals or rgbo):
         raise NotImplementedError(
             "differentiable fused path: density networks without "
@@ -1653,6 +1727,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         compute_dtype=compute_dtype,
         latent_subbox=subbox_t,
         latent_boxfeat=boxfeat_t,
+        iso_value=(float(iso_value) if iso_value is not None else None),
     )
     kernel = functools.partial(_segment_kernel, n_hidden=n_hidden,
                                **static_kwargs)

@@ -92,40 +92,20 @@ def _shade(config: RayEvaluationSteppingIso, volume, position, ray_dir,
     return jnp.where(found, color, zero), jnp.where(found, n, jnp.zeros_like(n))
 
 
-def trace_iso(ray_start: Array, ray_dir: Array, volume: Any,
-              config: RayEvaluationSteppingIso, max_steps: int,
-              tmax_in: Optional[Array] = None,
-              b: int = 0) -> RayEvaluationOutput:
-    dtype = ray_start.dtype
-    tmin, tmax_box = intersect_aabb(ray_start, ray_dir,
-                                    volume.box_min.astype(dtype),
-                                    volume.box_size.astype(dtype))
-    tmin = jnp.maximum(tmin, 0.0)
-    tmax = tmax_box if tmax_in is None else jnp.minimum(tmax_box, tmax_in)
-    stepsize = config.stepsize.astype(dtype)
+def refine_and_shade(ray_start: Array, ray_dir: Array, volume: Any,
+                     config: RayEvaluationSteppingIso,
+                     depth: Array, found: Array,
+                     b: int = 0) -> RayEvaluationOutput:
+    """Binary refinement between the last outside and first inside
+    sample, then curvature/Lambert shading at the hit (reference:
+    renderer_ray_evaluation_stepping_iso.cuh:181-208 + evalPoint).
+    Shared by the plain march (:func:`trace_iso`) and the fused march
+    (:func:`fvsrn_tpu.ops.fused_dvr.fused_trace_iso`) -- per-ray work,
+    so plain JAX is the right tool regardless of the march backend."""
+    stepsize = config.stepsize.astype(ray_start.dtype)
     iso = config.isovalue
     if iso.ndim > 0:
         iso = iso[b]
-
-    lead = ray_start.shape[:-1]
-    depth0 = jnp.zeros(lead + (1,), dtype)
-    found0 = jnp.zeros(lead + (1,), bool)
-
-    def step(carry, i):
-        depth, found = carry
-        tcurrent = tmin + i.astype(dtype) * stepsize
-        valid = (tcurrent <= tmax) & ~found
-        position = ray_start + ray_dir * tcurrent
-        value, _ = volume.eval_density(position, ray_dir, b=b)
-        inside = valid & (value[..., None] > iso)
-        depth = jnp.where(inside, tcurrent, depth)
-        found = found | inside
-        return (depth, found), None
-
-    (depth, found), _ = jax.lax.scan(
-        step, (depth0, found0), jnp.arange(max_steps, dtype=jnp.int32))
-
-    # binary refinement (reference: iso.cuh:181-208)
     d_out = depth - stepsize
     d_in = depth
 
@@ -141,8 +121,50 @@ def trace_iso(ray_start: Array, ray_dir: Array, volume: Any,
         return (depth, d_out, d_in), None
 
     (depth, _, _), _ = jax.lax.scan(
-        refine, (depth, d_out, d_in), None, length=config.binary_search_steps)
+        refine, (depth, d_out, d_in), None,
+        length=config.binary_search_steps)
 
     position = ray_start + ray_dir * depth
     color, normal = _shade(config, volume, position, ray_dir, found, b)
     return RayEvaluationOutput(color=color, normal=normal, depth=depth)
+
+
+def trace_iso(ray_start: Array, ray_dir: Array, volume: Any,
+              config: RayEvaluationSteppingIso, max_steps: int,
+              tmax_in: Optional[Array] = None,
+              b: int = 0, lattice: bool = False) -> RayEvaluationOutput:
+    dtype = ray_start.dtype
+    tmin, tmax_box = intersect_aabb(ray_start, ray_dir,
+                                    volume.box_min.astype(dtype),
+                                    volume.box_size.astype(dtype))
+    tmin = jnp.maximum(tmin, 0.0)
+    tmax = tmax_box if tmax_in is None else jnp.minimum(tmax_box, tmax_in)
+    stepsize = config.stepsize.astype(dtype)
+    iso = config.isovalue
+    if iso.ndim > 0:
+        iso = iso[b]
+
+    lead = ray_start.shape[:-1]
+    depth0 = jnp.zeros(lead + (1,), dtype)
+    found0 = jnp.zeros(lead + (1,), bool)
+    k0 = jnp.ceil(tmin / stepsize) if lattice else None
+
+    def step(carry, i):
+        depth, found = carry
+        if lattice:
+            tcurrent = (k0 + i.astype(dtype)) * stepsize
+        else:
+            tcurrent = tmin + i.astype(dtype) * stepsize
+        valid = (tcurrent <= tmax) & ~found
+        position = ray_start + ray_dir * tcurrent
+        value, _ = volume.eval_density(position, ray_dir, b=b)
+        inside = valid & (value[..., None] > iso)
+        depth = jnp.where(inside, tcurrent, depth)
+        found = found | inside
+        return (depth, found), None
+
+    (depth, found), _ = jax.lax.scan(
+        step, (depth0, found0), jnp.arange(max_steps, dtype=jnp.int32))
+
+    return refine_and_shade(ray_start, ray_dir, volume, config, depth,
+                            found, b=b)

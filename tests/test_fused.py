@@ -917,3 +917,60 @@ def test_stash_backward_matches_replay_backward():
     for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+# -- fused isosurface marching ---------------------------------------------
+
+def test_fused_iso_matches_plain():
+    """Fused iso march (first-crossing epilogue + plain-JAX bisection)
+    vs trace_iso on the same SRN."""
+    from fvsrn_tpu.ops.fused_dvr import fused_trace_iso
+    from fvsrn_tpu.raytracer.iso import RayEvaluationSteppingIso, trace_iso
+    net, _, rs, rd = _scene(True, seed=21, output_mode="density")
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    vol = VolumeInterpolationNetwork.make(net)
+    # isovalue at the median density so the scene has a surface
+    probe = np.random.default_rng(0).random((512, 3)).astype(np.float32) - 0.5
+    dens, _ = vol.eval_density(jnp.asarray(probe))
+    cfg = RayEvaluationSteppingIso.make(
+        stepsize=stepsize, isovalue=float(np.median(np.asarray(dens))),
+        binary_search_steps=8)
+    ref = trace_iso(rs, rd, vol, cfg, steps)
+    got = fused_trace_iso(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), cfg,
+        max_steps=steps, seg=8, tile=64, interpret=True)
+    ref_c = np.asarray(ref.color)
+    got_c = np.asarray(got.color)
+    assert (ref_c[:, 3] > 0.5).sum() > 20  # scene has a surface
+    np.testing.assert_allclose(got_c, ref_c, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.depth),
+                               np.asarray(ref.depth), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.normal),
+                               np.asarray(ref.normal), atol=1e-3)
+
+
+def test_fused_iso_boxfeat_lattice():
+    """Fused iso over the boxfeat latent path (lattice sampling) vs the
+    lattice-mode plain iso march."""
+    from fvsrn_tpu.ops.fused_dvr import fused_trace_iso
+    from fvsrn_tpu.raytracer.iso import RayEvaluationSteppingIso, trace_iso
+    net, _, rs, rd = _scene(True, seed=22, output_mode="density")
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    vol = VolumeInterpolationNetwork.make(net)
+    probe = np.random.default_rng(0).random((512, 3)).astype(np.float32) - 0.5
+    dens, _ = vol.eval_density(jnp.asarray(probe))
+    cfg = RayEvaluationSteppingIso.make(
+        stepsize=stepsize, isovalue=float(np.median(np.asarray(dens))),
+        binary_search_steps=6)
+    ref = trace_iso(rs, rd, vol, cfg, steps, lattice=True)
+    assert (np.asarray(ref.color)[:, 3] > 0.5).sum() > 20
+    got = fused_trace_iso(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), cfg,
+        max_steps=steps, seg=8, tile=64, latent_mode="boxfeat",
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got.depth),
+                               np.asarray(ref.depth), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.color),
+                               np.asarray(ref.color), atol=1e-4)

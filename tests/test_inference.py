@@ -175,3 +175,33 @@ def test_render_network_fused_boxfeat_bucketed():
                      ).reshape(h, w, 4)
     assert ref[..., 3].max() > 0.3
     np.testing.assert_allclose(img, ref, atol=1e-4)
+
+
+def test_render_network_iso():
+    """SRN isosurface rendering: FUSED (interpret) matches PLAIN32."""
+    import jax.numpy as jnp
+    from fvsrn_tpu.inference import LoadedModel
+    from fvsrn_tpu.models.latent import LatentSpace
+    from fvsrn_tpu.models.srn import SceneRepresentationNetwork
+    from fvsrn_tpu.raytracer.iso import RayEvaluationSteppingIso
+    from fvsrn_tpu.transfer import TransferFunctionPiecewiseLinear
+
+    rng = np.random.default_rng(7)
+    latent = LatentSpace(static_grid=jnp.asarray(
+        (rng.standard_normal((8, 8, 8, 8)) * 0.4).astype(np.float32)))
+    net = SceneRepresentationNetwork.make(
+        layers="32:32", activation="SnakeAlt:2", num_fourier=6,
+        output_mode="density", latent=latent, seed=7)
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[1.0, 1.0, 1.0]] * 2, opacity=[0.0, 10.0],
+        positions=[0.0, 1.0])
+    model = LoadedModel(net, tf)
+    cfg = RayEvaluationSteppingIso.make(stepsize=1 / 32, isovalue=0.5,
+                                        binary_search_steps=6)
+    cam = CameraOnASphere.make(pitch=0.3, yaw=0.6, distance=1.6)
+    a = np.asarray(model.render_network_iso(cam, 16, 16, cfg, "FUSED",
+                                            interpret=True))
+    b = np.asarray(model.render_network_iso(cam, 16, 16, cfg, "PLAIN32"))
+    assert np.isfinite(a).all()
+    assert (b[..., 3] > 0.5).sum() > 10
+    np.testing.assert_allclose(a, b, atol=1e-4)
