@@ -139,6 +139,18 @@ class LoadedModel:
                 table_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
                 else jnp.float32,
                 interpret=interpret)
+            # texture / 1D-preintegrated TFs run fused too
+            from .transfer import TransferFunctionTexture
+            if isinstance(self.tf, TransferFunctionTexture):
+                if self.tf.preintegration_mode == 1:
+                    kw["tf_mode"] = "preint1d"
+                    kw["tf_pre"] = self.tf.preintegrated
+                elif self.tf.preintegration_mode == 0:
+                    kw["tf_mode"] = "texture"
+                else:
+                    raise NotImplementedError(
+                        "fused path: 2D preintegration runs on the "
+                        "plain-JAX path (PLAIN32 mode)")
             grid = resolve_grid(self.network.latent)
             # fast path: boxfeat latent sampling + march-length tile
             # bucketing; needs 16x16-coherent pixel blocks and a latent

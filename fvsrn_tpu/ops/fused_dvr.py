@@ -1128,7 +1128,9 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
                     need_normals: bool = False,
                     brdf: tuple = (),
                     want_stash: bool = False,
-                    iso_value=None):
+                    iso_value=None,
+                    tf_mode: str = "piecewise",
+                    tf_pre_rows: int = 0):
     """One (ray-tile, segment) program in transposed layout.
 
     s (1, 1) scalar segment index (SMEM); rays (8, tile) packet
@@ -1297,19 +1299,120 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
         return
 
     inv_range = 1.0 / (density_max - density_min)
+    eye4 = (jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+            ).astype(jnp.float32)
+
+    def rows4(flat4):
+        # (4, N) -> list of 4 (seg, tile); selector matmul, not a
+        # slice (see the grad2 comment above)
+        return [jnp.dot(eye4[c:c + 1], flat4,
+                        preferred_element_type=jnp.float32
+                        ).reshape(seg, tile) for c in range(4)]
+
+    def lut4(tbl, s_flat, r, convention):
+        """Lerped 1D rgba-table lookup as a weight-matrix matmul (the
+        TPU answer to the reference's 1D TF texture fetch,
+        renderer_tf_texture.cuh:41-56): Mosaic has no per-lane gather,
+        but a (rows, N) interpolation-weight one-hot costs one compare
+        pass and the contraction runs on the MXU. tbl (rows, 4) value,
+        s_flat (1, N) -> (4, N)."""
+        if convention == "texture":        # x = s*r - 0.5, clamped ends
+            x = s_flat * float(r) - 0.5
+            i0 = jnp.floor(x)
+            f = x - i0
+            lo = jnp.clip(i0, 0.0, float(r - 1))
+            hi = jnp.clip(i0 + 1.0, 0.0, float(r - 1))
+        else:                              # cumulative: x = clip(s)*r'
+            x = jnp.clip(s_flat, 0.0, 1.0) * float(r - 1)
+            lo = jnp.clip(jnp.floor(x), 0.0, float(r - 2))
+            f = x - lo
+            hi = lo + 1.0
+        iot = jax.lax.broadcasted_iota(
+            jnp.int32, (tbl.shape[0], s_flat.shape[1]), 0).astype(
+            jnp.float32)
+        w = jnp.where(iot == lo, 1.0 - f, 0.0) \
+            + jnp.where(iot == hi, f, 0.0)
+        return jax.lax.dot_general(
+            tbl.astype(jnp.float32), w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     if rgbo:
         # color field: skip the TF, scale absorption by the stepsize
         # (reference: renderer_ray_evaluation_stepping_dvr.cuh:105-111)
-        # selector matmul, not a slice: see the grad2 comment above
-        eye4 = (jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
-                ).astype(jnp.float32)
-        rgba = [jnp.dot(eye4[c:c + 1], value,
-                        preferred_element_type=jnp.float32
-                        ).reshape(seg, tile) for c in range(4)]
+        rgba = rows4(value)
         absorption = rgba[3] * stepsize
         require = valid
         prev_out = carry[4:5, :]
+    elif tf_mode in ("texture", "preint1d"):
+        # 1D TF texture (reference: renderer_tf_texture.cuh:41-56) and
+        # its 1D-preintegrated variant (:62-84) -- semantics mirror
+        # transfer.TransferFunctionTexture.eval_normalized exactly
+        v2 = value.reshape(seg, tile)
+        density2 = (value - density_min) * inv_range          # (1, N)
+        d_clip = jnp.clip(density2, 0.0, 1.0)
+        tf_all = tf_ref[:]
+        plain_tbl = tf_all[0:tf_points, :]
+        plain_flat = lut4(plain_tbl, d_clip, tf_points, "texture")
+        plain_flat = jnp.concatenate(
+            [plain_flat[0:3, :], plain_flat[3:4, :] * stepsize], axis=0)
+        if tf_mode == "texture":
+            rgba = rows4(plain_flat)
+            absorption = rgba[3]
+        else:
+            # previous density: in-segment step shift + cross-segment
+            # carry row 4 (-1 sentinel on the very first step)
+            d2s = density2.reshape(seg, tile)
+            prev2 = jnp.concatenate([carry[4:5, :], d2s[:seg - 1, :]],
+                                    axis=0)
+            if latent_boxfeat:
+                # lattice mode evaluates (masked) samples before the
+                # ray's own first step k0_ray; their densities must not
+                # leak into the prev chain -- the first VALID sample
+                # sees the sentinel, like the plain lattice oracle
+                first2 = kk.reshape(seg, tile) == tmin
+                prev2 = jnp.where(first2, -1.0, prev2)
+            prev_flat = prev2.reshape(1, seg * tile)
+            prev_eff = jnp.where(prev_flat < 0, d_clip, prev_flat)
+            pre_tbl = tf_all[tf_points:tf_points + tf_pre_rows, :]
+            vsf = lut4(pre_tbl, prev_eff, tf_pre_rows, "cumulative")
+            vsb = lut4(pre_tbl, d_clip, tf_pre_rows, "cumulative")
+            denom = d_clip - prev_eff
+            near = jnp.abs(denom) < 1e-3
+            safe = jnp.where(near, 1.0, denom)
+            rgb_p = stepsize * (vsb[0:3, :] - vsf[0:3, :]) / safe
+            alpha_p = 1.0 - jnp.exp(
+                -stepsize * (vsb[3:4, :] - vsf[3:4, :]) / safe)
+            inv_a = jnp.where(alpha_p > 1e-5,
+                              1.0 / jnp.maximum(alpha_p, 1e-5), 1.0)
+            pre_flat = jnp.concatenate([rgb_p * inv_a, alpha_p], axis=0)
+            near4 = jnp.concatenate([near] * 4, axis=0)
+            rgba_flat = jnp.where(near4, plain_flat, pre_flat)
+            rgba = rows4(rgba_flat)
+            # preintegrated alpha is already an opacity -- feed it to
+            # the blend unscaled (parity with the plain oracle, which
+            # passes eval_normalized's output straight to blend_step)
+            absorption = rgba[3]
+        require = valid & (v2 >= density_min)
+        prev_out = density2.reshape(seg, tile)[seg - 1:seg, :]
+    elif tf_mode == "gaussian":
+        # sum-of-gaussians TF (reference: renderer_tf_gaussian.cuh:
+        # 36-88, plain mode): per-gaussian weights broadcast over the
+        # sample row, one (4, G) x (G, N) contraction for the colors
+        v2 = value.reshape(seg, tile)
+        density2 = (value - density_min) * inv_range          # (1, N)
+        d_clip = jnp.clip(density2, 0.0, 1.0)
+        tfg = tf_ref[:]                                        # (G, 6)
+        mu = tfg[:, 4:5]
+        sg = tfg[:, 5:6]
+        wg = jnp.exp(-((d_clip - mu) ** 2) / (sg * sg))        # (G, N)
+        rgba_flat = jax.lax.dot_general(
+            tfg[:, 0:4], wg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (4, N)
+        rgba = rows4(rgba_flat)
+        absorption = rgba[3] * stepsize
+        require = valid & (v2 >= density_min)
+        prev_out = density2.reshape(seg, tile)[seg - 1:seg, :]
     else:
         # dense (seg, tile) layout for the epilogue: the (1, N) row uses
         # 1/8 of each vreg's sublanes; reshaped, TF + compositing run
@@ -1488,6 +1591,8 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                     stash_backward: bool = False,
                     segment_remat: bool = False,
                     iso_value=None,
+                    tf_mode: str = "piecewise",
+                    tf_pre: Optional[Array] = None,
                     interpret: bool = False):
     """Fused DVR through an SRN. Returns rgba (R, 4), or a
     ``RayEvaluationOutput`` (color, blended normal, depth) when
@@ -1624,8 +1729,30 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     n_seg = (max_steps + seg - 1) // seg
     n_tiles = r_total // tile
     n_samples = seg * tile
-    tf_pad = _pad_tf(tf_tensor)
-    tf_points = tf_tensor.shape[0]
+    if tf_mode == "piecewise":
+        tf_pad = _pad_tf(tf_tensor)
+        tf_points = tf_tensor.shape[0]
+        tf_pre_rows = 0
+    elif tf_mode in ("texture", "gaussian"):
+        tf_pad = jnp.asarray(tf_tensor, jnp.float32)  # (R, 4) | (G, 6)
+        tf_points = tf_tensor.shape[0]
+        tf_pre_rows = 0
+    elif tf_mode == "preint1d":
+        if tf_pre is None:
+            raise ValueError("tf_mode='preint1d' needs tf_pre (the "
+                             "cumulative table from with_preintegration)")
+        plain_t = jnp.asarray(tf_tensor, jnp.float32)
+        pre_t = jnp.asarray(tf_pre, jnp.float32)
+        tf_points = plain_t.shape[0]
+        tf_pre_rows = pre_t.shape[0]
+        total = tf_points + tf_pre_rows
+        pad = (-total) % 8
+        tf_pad = jnp.concatenate(
+            [plain_t, pre_t] + ([jnp.zeros((pad, 4), jnp.float32)]
+                                if pad else []), axis=0)
+    else:
+        raise ValueError(f"unknown tf_mode {tf_mode!r} "
+                         "(piecewise|texture|preint1d|gaussian)")
 
     # resolve the sub-box latent mode (see docstring)
     subbox_t = ()
@@ -1672,6 +1799,10 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         n_seg = bf_spec.n_seg
 
     rgbo = not net.output_mode.startswith("density")
+    if differentiable and tf_mode != "piecewise":
+        raise NotImplementedError(
+            "differentiable fused path: piecewise TF only (texture/"
+            "preintegrated TFs train through the plain-JAX oracle)")
     if iso_value is not None and (differentiable or need_normals or rgbo):
         raise ValueError("fused iso marching: forward-only density "
                          "networks (shading happens outside the kernel)")
@@ -1728,6 +1859,8 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         latent_subbox=subbox_t,
         latent_boxfeat=boxfeat_t,
         iso_value=(float(iso_value) if iso_value is not None else None),
+        tf_mode=tf_mode,
+        tf_pre_rows=tf_pre_rows,
     )
     kernel = functools.partial(_segment_kernel, n_hidden=n_hidden,
                                **static_kwargs)

@@ -55,7 +55,9 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
                         need_normals: bool = False,
                         brdf: tuple = (),
                         want_stash: bool = False,
-                        iso_value=None):
+                        iso_value=None,
+                        tf_mode: str = "piecewise",
+                        tf_pre_rows: int = 0):
     """Backward of one (ray-tile, segment) program.
 
     Inputs mirror the forward kernel plus ``dcarry`` (8, tile), the
@@ -85,8 +87,9 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     if want_stash:
         stash_ref = refs[0]
         refs = refs[1:]
-    assert not need_normals and not brdf and iso_value is None, \
-        "differentiable fused path has no normal/shading/iso support"
+    assert not need_normals and not brdf and iso_value is None \
+        and tf_mode == "piecewise", \
+        "differentiable fused path: piecewise TF, no normals/shading/iso"
     carry_ref, dcarry_ref = refs[0], refs[1]
     (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref, w1cos_ref, w1sin_ref,
      w1lat_ref, b1_ref) = refs[2:10]

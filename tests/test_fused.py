@@ -974,3 +974,77 @@ def test_fused_iso_boxfeat_lattice():
                                np.asarray(ref.depth), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.color),
                                np.asarray(ref.color), atol=1e-4)
+
+
+# -- texture + preintegrated TFs through the fused path --------------------
+
+def _texture_tf(seed=3, resolution=64):
+    from fvsrn_tpu.transfer import TransferFunctionTexture
+    rng = np.random.default_rng(seed)
+    tbl = rng.random((resolution, 4)).astype(np.float32)
+    tbl[:, 3] *= 25.0
+    return TransferFunctionTexture(tensor=jnp.asarray(tbl))
+
+
+def _plain_tf(net, tf, rs, rd, stepsize, steps):
+    vol = VolumeInterpolationNetwork.make(net)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=stepsize,
+                                        enable_early_out=False)
+    return trace_dvr(rs, rd, vol, tf, cfg, steps).color
+
+
+def test_fused_texture_tf_matches_plain():
+    """1D TF texture fetch as a lerp-weight one-hot matmul
+    (reference: renderer_tf_texture.cuh:41-56)."""
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf = _texture_tf()
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_tf(net, tf, rs, rd, stepsize, steps))
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, tf_mode="texture", interpret=True))
+    assert ref[:, 3].max() > 0.5
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_preintegrated_tf_matches_plain():
+    """1D preintegration (cumulative table, previous-density carry
+    across steps AND segments; reference: renderer_tf_texture.cuh:62-84
+    + Compute1DPreintegrationTable)."""
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf = _texture_tf().with_preintegration(resolution=128)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_tf(net, tf, rs, rd, stepsize, steps))
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, tf_mode="preint1d",
+        tf_pre=tf.preintegrated, interpret=True))
+    assert ref[:, 3].max() > 0.5
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_fused_gaussian_tf_matches_plain():
+    """Sum-of-gaussians TF in-kernel (reference:
+    renderer_tf_gaussian.cuh:36-88, plain mode)."""
+    from fvsrn_tpu.transfer import TransferFunctionGaussian
+    net, _, rs, rd = _scene(True, output_mode="density")
+    rng = np.random.default_rng(6)
+    g = np.zeros((3, 6), np.float32)
+    g[:, 0:3] = rng.random((3, 3))
+    g[:, 3] = [10.0, 20.0, 15.0]
+    g[:, 4] = [0.3, 0.55, 0.8]
+    g[:, 5] = [0.08, 0.05, 0.1]
+    tf = TransferFunctionGaussian(tensor=jnp.asarray(g))
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_tf(net, tf, rs, rd, stepsize, steps))
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, tf_mode="gaussian", interpret=True))
+    assert ref[:, 3].max() > 0.5
+    np.testing.assert_allclose(got, ref, atol=1e-4)

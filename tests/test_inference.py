@@ -205,3 +205,47 @@ def test_render_network_iso():
     assert np.isfinite(a).all()
     assert (b[..., 3] > 0.5).sum() > 10
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_render_network_texture_tf():
+    """FUSED inference with a texture TF (and its 1D-preintegrated
+    variant) matches the plain path (interpret, lattice oracle)."""
+    import jax.numpy as jnp
+    from fvsrn_tpu.camera import camera_matrix, generate_rays
+    from fvsrn_tpu.inference import LoadedModel
+    from fvsrn_tpu.models.latent import LatentSpace
+    from fvsrn_tpu.models.network_volume import VolumeInterpolationNetwork
+    from fvsrn_tpu.models.srn import SceneRepresentationNetwork
+    from fvsrn_tpu.raytracer.dvr import (RayEvaluationSteppingDvr,
+                                         max_steps_bound, trace_dvr)
+    from fvsrn_tpu.transfer import TransferFunctionTexture
+
+    rng = np.random.default_rng(5)
+    latent = LatentSpace(static_grid=jnp.asarray(
+        (rng.standard_normal((8, 8, 8, 8)) * 0.3).astype(np.float32)))
+    net = SceneRepresentationNetwork.make(
+        layers="32:32", activation="SnakeAlt:2", num_fourier=6,
+        output_mode="density", latent=latent, seed=5)
+    tbl = rng.random((64, 4)).astype(np.float32)
+    tbl[:, 3] *= 20.0
+    cfg = RayEvaluationSteppingDvr.make(stepsize=1 / 32,
+                                        enable_early_out=False)
+    cam = CameraOnASphere.make(pitch=0.3, yaw=0.7, distance=1.6)
+    w = h = 32
+    mat = np.asarray(camera_matrix(cam))
+    rs, rd = generate_rays(mat, w, h, cam.fov_y_radians)
+    vol = VolumeInterpolationNetwork.make(net)
+    steps = max_steps_bound((1.0, 1.0, 1.0), 1 / 32)
+    for pre in (False, True):
+        tf = TransferFunctionTexture(tensor=jnp.asarray(tbl))
+        if pre:
+            tf = tf.with_preintegration(resolution=128)
+        model = LoadedModel(net, tf, config=cfg)
+        img = np.asarray(model.render_network(cam, w, h, "FUSED",
+                                              interpret=True))
+        ref = np.asarray(trace_dvr(
+            rs.reshape(-1, 3), rd.reshape(-1, 3), vol, tf, cfg, steps,
+            lattice=True).color).reshape(h, w, 4)
+        assert ref[..., 3].max() > 0.5
+        np.testing.assert_allclose(img, ref, atol=2e-4,
+                                   err_msg=f"pre={pre}")
