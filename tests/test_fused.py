@@ -1048,3 +1048,35 @@ def test_fused_gaussian_tf_matches_plain():
         enable_early_out=False, tf_mode="gaussian", interpret=True))
     assert ref[:, 3].max() > 0.5
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_direction_plus_normals():
+    """Direction-input SRN with in-kernel adjoint normals + shading
+    (position gradient must ignore the direction block)."""
+    from fvsrn_tpu.brdf import BRDFLambert
+    rng = np.random.default_rng(15)
+    latent = LatentSpace(static_grid=jnp.asarray(
+        (rng.standard_normal((8, 8, 8, 8)) * 0.3).astype(np.float32)))
+    net = SceneRepresentationNetwork.make(
+        layers="32:32", activation="SnakeAlt:2", num_fourier=6,
+        output_mode="density", latent=latent, seed=15,
+        use_direction=True, disable_direction_in_fourier=False)
+    _, tf, rs, rd = _scene(False)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    brdf = BRDFLambert.make(light=(0.4, -0.7, 0.5), ambient=0.2)
+    vol = VolumeInterpolationNetwork.make(net)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=stepsize,
+                                        enable_early_out=False,
+                                        need_normals=True)
+    ref = trace_dvr(rs, rd, vol, tf, cfg, steps, brdf=brdf)
+    got = fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, need_normals=True, brdf=brdf,
+        interpret=True)
+    assert np.asarray(ref.color)[:, 3].max() > 0.5
+    np.testing.assert_allclose(np.asarray(got.color),
+                               np.asarray(ref.color), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.normal),
+                               np.asarray(ref.normal), atol=1e-3)
