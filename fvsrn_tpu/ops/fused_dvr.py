@@ -176,73 +176,6 @@ def _fast_cos(x: Array) -> Array:
     return _fast_sincos(x)[1]
 
 
-def build_window_table(grid: Array) -> Array:
-    """Precompute the 3x3x3 window table for per-window gathers.
-
-    Round-2 groundwork for halving the latent gather traffic (PERF.md
-    decomposition: the per-sample (N, 128) row gather is ~75% of the
-    training step): a K-step ray window with at most one cell crossing
-    per axis touches at most the 27 corners around the window's minimum
-    base, so ONE (512-lane) window row can serve all K samples, each
-    sample selecting its 2x2x2 sub-cube in-kernel by masked static
-    shuffles (:func:`select_subcube`).
-
-    grid: (C, D, H, W), C <= 16. Returns (Vb, 512) with Vb =
-    (D+1)(H+1)(W+1); row for window base wb holds blocks
-    j = dz*9 + dy*3 + dx for dz,dy,dx in {0,1,2}, 16 channels each
-    (lanes 432:512 zero). Same edge-clamp semantics as
-    :func:`build_neighborhood_table`.
-    """
-    grid = jnp.asarray(grid, jnp.float32)
-    c, d, h, w = grid.shape
-    assert c <= 16, "window table supports <= 16 latent channels"
-    if c < 16:
-        grid = jnp.concatenate(
-            [grid, jnp.zeros((16 - c, d, h, w), grid.dtype)], axis=0)
-    p = jnp.pad(grid, ((0, 0), (1, 2), (1, 2), (1, 2)), mode="edge")
-    blocks = []
-    for dz in (0, 1, 2):
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                blocks.append(p[:, dz:dz + d + 1, dy:dy + h + 1,
-                               dx:dx + w + 1])
-    t = jnp.stack(blocks, axis=0)   # (27, 16, D+1, H+1, W+1)
-    t = t.transpose(2, 3, 4, 0, 1)  # (D+1, H+1, W+1, 27, 16)
-    t = t.reshape((d + 1) * (h + 1) * (w + 1), 27 * 16)
-    return jnp.concatenate(
-        [t, jnp.zeros((t.shape[0], 512 - 27 * 16), t.dtype)], axis=1)
-
-
-def _subcube_lane_indices(o: tuple) -> np.ndarray:
-    """Static lanes of the 2x2x2 sub-cube at offset o within a 512-lane
-    window row (blocks of 16 channels, window block j = dz*9+dy*3+dx)."""
-    oz, oy, ox = o
-    lanes = []
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                j = (oz + dz) * 9 + (oy + dy) * 3 + (ox + dx)
-                lanes.extend(range(j * 16, j * 16 + 16))
-    return np.asarray(lanes, np.int32)
-
-
-def select_subcube(window_rows: Array, offsets: Array) -> Array:
-    """(N, 512) window rows + (N, 3) per-sample offsets in {0,1}^3
-    (z, y, x order) -> (N, 128) 8-corner rows, layout-compatible with
-    :func:`build_neighborhood_table` gathers. Offsets outside {0,1}
-    (window constraint violated) select nothing and yield zero rows."""
-    out = jnp.zeros((window_rows.shape[0], 128), window_rows.dtype)
-    for oz in (0, 1):
-        for oy in (0, 1):
-            for ox in (0, 1):
-                lanes = _subcube_lane_indices((oz, oy, ox))
-                sub = window_rows[:, lanes]
-                m = ((offsets[:, 0] == oz) & (offsets[:, 1] == oy)
-                     & (offsets[:, 2] == ox))
-                out = jnp.where(m[:, None], sub, out)
-    return out
-
-
 def block_ray_permutation(width: int, height: int,
                           block_w: int = 16, block_h: int = 16):
     """Permutation regrouping row-major rays into (block_h x block_w)

@@ -317,50 +317,6 @@ def test_certify_subbox_covers_footprint():
     assert all(1 <= v <= 9 for v in sz)
 
 
-def test_window_table_matches_neighborhood_table(rng):
-    """Round-2 groundwork: one 27-corner window row + in-window sub-cube
-    selection reproduces the per-sample 8-corner neighborhood rows for
-    ray windows with at most one cell crossing per axis."""
-    from fvsrn_tpu.ops.fused_dvr import (build_neighborhood_table,
-                                         build_window_table,
-                                         select_subcube)
-    grid = jnp.asarray(rng.standard_normal((16, 8, 8, 8)),
-                       jnp.float32)
-    res = np.array([8, 8, 8])
-    ntab = np.asarray(build_neighborhood_table(grid))
-    wtab = np.asarray(build_window_table(grid))
-
-    k = 8
-    stepsize = 1 / 128  # k*stepsize*res = 0.5 cells < 1 crossing/axis
-    n_rays = 64
-    start = rng.random((n_rays, 3)).astype(np.float32) * 0.9
-    d = rng.standard_normal((n_rays, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-
-    def base(pos01):
-        v = pos01 * res - 0.5
-        return np.clip(np.floor(v).astype(np.int32) + 1, 0, res)
-
-    def row(b):  # (..., 3) x,y,z order -> linear row
-        return (b[..., 2] * 9 + b[..., 1]) * 9 + b[..., 0]
-
-    # per-sample positions over the window
-    t = np.arange(k, dtype=np.float32)[None, :, None] * stepsize
-    pos = np.clip(start[:, None, :] + d[:, None, :] * t, 0.0, 1.0)
-    b_samples = base(pos)                        # (R, K, 3)
-    wb = np.minimum(b_samples[:, 0], b_samples[:, -1])  # (R, 3)
-    offsets = (b_samples - wb[:, None, :])       # (R, K, 3) in {0,1}
-    assert offsets.min() >= 0 and offsets.max() <= 1
-
-    want = ntab[row(b_samples).reshape(-1)]      # (R*K, 128)
-    wrows = wtab[np.repeat(row(wb), k)]          # (R*K, 512)
-    # select_subcube takes (z, y, x) offsets
-    got = np.asarray(select_subcube(
-        jnp.asarray(wrows),
-        jnp.asarray(offsets.reshape(-1, 3)[:, ::-1].copy())))
-    np.testing.assert_array_equal(got, want)
-
-
 def test_fused_normals_match_plain_adjoint():
     """In-kernel adjoint normal sweep (analytic latent position grads) vs
     the plain oracle's jax.grad normal, plus blended normal/depth outputs
