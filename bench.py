@@ -33,6 +33,18 @@ RAY_CHUNK = 262144  # rays per jit call
 TIMED_FRAMES = 4
 
 
+def _wait_for_device(jax, attempts=20, delay_s=60):
+    """The tunnel can be transiently UNAVAILABLE after job churn;
+    retry before giving up (observed: outages of tens of minutes)."""
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            print(f"device attempt {i}: {e}", file=sys.stderr)
+            time.sleep(delay_s)
+    return jax.devices()  # final attempt, raise for real
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -40,6 +52,7 @@ def main():
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _wait_for_device(jax)
     import jax.numpy as jnp
     from __graft_entry__ import _build_flagship
     from fvsrn_tpu.camera import CameraOnASphere, camera_matrix, generate_rays
