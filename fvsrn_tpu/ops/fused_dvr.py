@@ -937,12 +937,26 @@ def _boxfeat_features(x, lat_ref, base_ref, *, spec_t, grid_sizes):
     Returns (feat (16, N) f32, BoxfeatAux).
     """
     szxc, szyc, szzc, nxb, szycp = spec_t
-    gx, gy, gz = grid_sizes
-    n = x.shape[1]
-    f32 = jnp.float32
     base_y = base_ref[0, 0, 0]
     base_z = base_ref[0, 0, 1]
     xb0 = base_ref[0, 0, 2]
+    parts = [lat_ref[p_ * szycp:(p_ + 1) * szycp, :].astype(jnp.float32)
+             for p_ in range(nxb)]
+    return _boxfeat_features_parts(x, parts, base_y, base_z, xb0,
+                                   spec_t=spec_t, grid_sizes=grid_sizes)
+
+
+def _boxfeat_features_parts(x, parts, base_y, base_z, xb0, *,
+                            spec_t, grid_sizes):
+    """Core of the factorized trilerp resolve over pre-sliced x-block
+    parts (nxb arrays of (SZYCP, 128) f32 rows, row = oz*szyc + oy) and
+    traced base scalars. Shared by the per-segment kernel (gathered-row
+    layout) and the megakernel (VMEM-resident slab layout, where szyc
+    is the 8-aligned y window and szycp = szzc*szyc)."""
+    szxc, szyc, szzc, nxb, szycp = spec_t
+    gx, gy, gz = grid_sizes
+    n = x.shape[1]
+    f32 = jnp.float32
 
     def axis(vcomp, res):
         v = vcomp * float(res) - 0.5
@@ -976,7 +990,7 @@ def _boxfeat_features(x, lat_ref, base_ref, *, spec_t, grid_sizes):
     lat_parts = []
     m1 = []
     for p_ in range(nxb):
-        part = lat_ref[p_ * szycp:(p_ + 1) * szycp, :].astype(f32)
+        part = parts[p_]
         lat_parts.append(part)
         m1.append(jax.lax.dot_general(
             part, wzy, (((0,), (0,)), ((), ())),
@@ -1037,6 +1051,70 @@ def _latent_features(x, lat_ref, lrow_ref, *, has_latent, latent_table,
         rows_t = lat_ref[:].astype(jnp.float32).T
         return rows_t * wrep, wrep, None, rows_t
     return lat_ref[0], None, None, None
+
+
+def _piecewise_tf(v2, tf_ref, *, tf_points: int, density_min: float,
+                  density_max: float, stepsize: float):
+    """Piecewise-linear TF on a dense (seg, tile) value block, unrolled
+    over control intervals (reference: renderer_tf_piecewise.cuh:27-64);
+    interval index i = sum_k [knot_k <= d] over interior knots. Returns
+    (rgba list of 4 (seg, tile), absorption, density2)."""
+    inv_range = 1.0 / (density_max - density_min)
+    density2 = (v2 - density_min) * inv_range
+    d_clip = jnp.clip(density2, 0.0, 1.0)
+    knots = [tf_ref[k, 4] for k in range(tf_points)]
+    interval = jnp.zeros_like(d_clip, dtype=jnp.int32)
+    for k in range(1, tf_points - 1):
+        interval += (knots[k] <= d_clip).astype(jnp.int32)
+    rgba = [jnp.zeros_like(d_clip) for _ in range(4)]
+    for k in range(tf_points - 1):
+        p0 = knots[k]
+        p1 = knots[k + 1]
+        frac = (jnp.clip(d_clip, p0, p1) - p0) / (p1 - p0)
+        sel = interval == k
+        for c in range(4):
+            v = tf_ref[k, c] + frac * (tf_ref[k + 1, c] - tf_ref[k, c])
+            rgba[c] = jnp.where(sel, v, rgba[c])
+    absorption = rgba[3] * stepsize            # (seg, tile)
+    return rgba, absorption, density2
+
+
+def _compose_tree(rgba, absorption, require, seg: int, *, blend_beer: bool,
+                  normals=None, tval2=None):
+    """Compositing as an associative tree reduction over the step axis:
+    per-step element (C_j, A_j) with C_j = rgba_j * ca_j; composition
+    (C1,A1)o(C2,A2) = (C1+(1-A1)C2, A1+(1-A1)A2) reproduces sequential
+    front-to-back blending exactly (alpha "over" is associative).
+    Normals and depth blend with the same weights as color
+    (reference: renderer_blending.cuh:36-52).
+    In-segment alpha-early-out is dropped (segment-level voting only);
+    the skipped tail is weighted by (1-alpha) <= 1-early_alpha.
+    Returns (seg_c list, seg_a), each (1, tile)."""
+    absn = jnp.where(require, absorption, 0.0)
+    if blend_beer:
+        ca = 1.0 - jnp.exp(-absn)
+    else:
+        ca = jnp.minimum(1.0, absn)
+    prem = [jnp.where(require, rgba[c], 0.0) * ca for c in range(3)]
+    if normals is not None:
+        prem += [jnp.where(require, nc, 0.0) for nc in normals]
+        prem.append(jnp.where(require, tval2, 0.0))
+        prem[3:7] = [p * ca for p in prem[3:7]]
+
+    def compose(lhs, rhs):
+        lc, la = lhs
+        rc, ra = rhs
+        w = 1.0 - la
+        return [a + w * b for a, b in zip(lc, rc)], la + w * ra
+
+    def reduce_range(lo, size):
+        if size == 1:
+            return ([p[lo:lo + 1] for p in prem], ca[lo:lo + 1])
+        half = size // 2
+        return compose(reduce_range(lo, half),
+                       reduce_range(lo + half, size - half))
+
+    return reduce_range(0, seg)
 
 
 def _stash_rows(num_fourier: int, hidden: int, n_hidden: int) -> int:
@@ -1351,26 +1429,9 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
         # 1/8 of each vreg's sublanes; reshaped, TF + compositing run
         # dense
         v2 = value.reshape(seg, tile)
-        density2 = (v2 - density_min) * inv_range
-        d_clip = jnp.clip(density2, 0.0, 1.0)
-
-        # piecewise-linear TF, unrolled over control intervals
-        # (reference: renderer_tf_piecewise.cuh:27-64); interval index
-        # i = sum_k [knot_k <= d] over interior knots
-        knots = [tf_ref[k, 4] for k in range(tf_points)]
-        interval = jnp.zeros_like(d_clip, dtype=jnp.int32)
-        for k in range(1, tf_points - 1):
-            interval += (knots[k] <= d_clip).astype(jnp.int32)
-        rgba = [jnp.zeros_like(d_clip) for _ in range(4)]
-        for k in range(tf_points - 1):
-            p0 = knots[k]
-            p1 = knots[k + 1]
-            frac = (jnp.clip(d_clip, p0, p1) - p0) / (p1 - p0)
-            sel = interval == k
-            for c in range(4):
-                v = tf_ref[k, c] + frac * (tf_ref[k + 1, c] - tf_ref[k, c])
-                rgba[c] = jnp.where(sel, v, rgba[c])
-        absorption = rgba[3] * stepsize        # (seg, tile)
+        rgba, absorption, density2 = _piecewise_tf(
+            v2, tf_ref, tf_points=tf_points, density_min=density_min,
+            density_max=density_max, stepsize=stepsize)
         require = valid & (v2 >= density_min)
         prev_out = density2[seg - 1:seg, :]
 
@@ -1428,39 +1489,9 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
                         * (diffuse[c] + specular * spec)
                         for c in range(3)]
 
-    # compositing as an associative tree reduction over the step axis:
-    # per-step element (C_j, A_j) with C_j = rgba_j * ca_j; composition
-    # (C1,A1)o(C2,A2) = (C1+(1-A1)C2, A1+(1-A1)A2) reproduces sequential
-    # front-to-back blending exactly (alpha "over" is associative).
-    # Normals and depth blend with the same weights as color
-    # (reference: renderer_blending.cuh:36-52).
-    # In-segment alpha-early-out is dropped (segment-level voting only);
-    # the skipped tail is weighted by (1-alpha) <= 1-early_alpha.
-    absn = jnp.where(require, absorption, 0.0)
-    if blend_beer:
-        ca = 1.0 - jnp.exp(-absn)
-    else:
-        ca = jnp.minimum(1.0, absn)
-    prem = [jnp.where(require, rgba[c], 0.0) * ca for c in range(3)]
-    if need_normals:
-        prem += [jnp.where(require, nc, 0.0) for nc in n_safe]
-        prem.append(jnp.where(require, tval2, 0.0))
-        prem[3:7] = [p * ca for p in prem[3:7]]
-
-    def compose(lhs, rhs):
-        lc, la = lhs
-        rc, ra = rhs
-        w = 1.0 - la
-        return [a + w * b for a, b in zip(lc, rc)], la + w * ra
-
-    def reduce_range(lo, size):
-        if size == 1:
-            return ([p[lo:lo + 1] for p in prem], ca[lo:lo + 1])
-        half = size // 2
-        return compose(reduce_range(lo, half),
-                       reduce_range(lo + half, size - half))
-
-    seg_c, seg_a = reduce_range(0, seg)        # (1, tile) each
+    seg_c, seg_a = _compose_tree(rgba, absorption, require, seg,
+                                 blend_beer=blend_beer,
+                                 normals=n_safe, tval2=tval2)
     alpha = carry[3:4, :]
     w0 = 1.0 - alpha
     out_ref[0:1, :] = carry[0:1, :] + w0 * seg_c[0]

@@ -119,17 +119,6 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     cd = compute_dtype
     f32 = jnp.float32
 
-    def mm(a, b):
-        return jnp.dot(a.astype(cd), b.astype(cd),
-                       preferred_element_type=f32)
-
-    def mm_ct(a, b):
-        # contract the sample axis (axis 1 of both): (P, N)x(Q, N)->(P, Q)
-        return jax.lax.dot_general(
-            a.astype(cd), b.astype(cd),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-
     # ---------------- forward replay ----------------
     s = s_ref[0, 0].astype(f32)
     rays = rays_ref[:]
@@ -156,7 +145,6 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         xs.append((sc + tval * dc - box_min[c]) / box_size[c])
     x = jnp.concatenate(xs, axis=0)            # (3, N)
     dirs = jnp.concatenate(ds, axis=0) if has_direction else None
-    n = x.shape[1]
 
     lat, wrep, oh, bf_aux = _latent_features(
         x, lat_ref, lrow_ref, has_latent=has_latent,
@@ -164,11 +152,77 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         grid_sizes=grid_sizes, compute_dtype=compute_dtype,
         latent_boxfeat=latent_boxfeat, base_ref=base_ref)
 
+    weight_refs = (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref, w1cos_ref,
+                   w1sin_ref, w1lat_ref, b1_ref, tuple(hw), tuple(hb),
+                   wout_ref, bout_ref, tf_ref)
+    grad_refs = (dfourier_ref, dfdir_ref, dw1pos_ref, dw1dir_ref,
+                 dw1cos_ref, dw1sin_ref, dw1lat_ref, db1_ref, tuple(dhw),
+                 tuple(dhb), dwout_ref, dbout_ref, dtf_ref)
+    d_lat, dcarry_rows = bwd_segment_core(
+        x=x, dirs=dirs, lat=lat, carry=carry_ref[:], dcarry=dcarry_ref[:],
+        tval=tval, kk=kk, tmin=tmin, tmax=tmax,
+        weight_refs=weight_refs, grad_refs=grad_refs,
+        first=pl.program_id(0) == 0,
+        stash=(stash_ref[:] if want_stash else None),
+        n_hidden=n_hidden, activation=activation, act_param=act_param,
+        output_mode=output_mode, has_latent=has_latent,
+        tf_points=tf_points, blend_beer=blend_beer, seg=seg, tile=tile,
+        density_min=density_min, density_max=density_max,
+        stepsize=stepsize, early_alpha=early_alpha,
+        compute_dtype=compute_dtype, has_direction=has_direction,
+        latent_boxfeat=bool(latent_boxfeat))
+    dcarry_in_ref[:] = dcarry_rows
+    _emit_dlat(d_lat, wrep, oh, bf_aux, rows_ref,
+               dlat_ref=dlat_ref, dslot_ref=dslot_ref,
+               rowsout_ref=rowsout_ref, has_latent=has_latent,
+               latent_table=latent_table, latent_subbox=latent_subbox,
+               latent_boxfeat=latent_boxfeat, compact_slots=compact_slots,
+               seg=seg, tile=tile)
+
+
+def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
+                     weight_refs, grad_refs, first, stash,
+                     n_hidden, activation, act_param, output_mode,
+                     has_latent, tf_points, blend_beer, seg, tile,
+                     density_min, density_max, stepsize, early_alpha,
+                     compute_dtype, has_direction,
+                     latent_boxfeat: bool):
+    """Layout-agnostic adjoint of one (ray-tile, segment): forward MLP
+    replay, TF replay, blending replay, reverse compositing chain, TF
+    control-point gradients, and transposed-weight MLP adjoint with
+    weight gradients accumulated into ``grad_refs`` (zero-initialized
+    under ``pl.when(first)``). Shared by the per-segment backward kernel
+    and the megakernel backward (fused_mega).
+
+    Returns ``(d_lat, dcarry_rows)``: the raw latent-feature cotangent
+    (w1_lat^T @ dpre1, layout conversion is the caller's) and the (8,
+    tile) incoming-carry cotangent rows.
+    """
+    (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref, w1cos_ref, w1sin_ref,
+     w1lat_ref, b1_ref, hw, hb, wout_ref, bout_ref, tf_ref) = weight_refs
+    (dfourier_ref, dfdir_ref, dw1pos_ref, dw1dir_ref, dw1cos_ref,
+     dw1sin_ref, dw1lat_ref, db1_ref, dhw, dhb, dwout_ref, dbout_ref,
+     dtf_ref) = grad_refs
+    want_stash = stash is not None
+    cd = compute_dtype
+    f32 = jnp.float32
+
+    def mm(a, b):
+        return jnp.dot(a.astype(cd), b.astype(cd),
+                       preferred_element_type=f32)
+
+    def mm_ct(a, b):
+        # contract the sample axis (axis 1 of both): (P, N)x(Q, N)->(P, Q)
+        return jax.lax.dot_general(
+            a.astype(cd), b.astype(cd),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
     if want_stash:
         # zero-transcendental replay: the forward stashed the fourier
         # sincos, post-activations, and activation derivatives (layout:
         # fused_dvr._stash_rows); only the cheap output head is redone
-        st = stash_ref[:]
+        st = stash
         fcount = fourier_ref.shape[0]
         f8 = -(-fcount // 8) * 8
         hcount = b1_ref.shape[0]
@@ -233,7 +287,6 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     absorption = rgba[3] * stepsize
 
     # blending replay, saving pre-step accumulators
-    carry = carry_ref[:]
     alpha = carry[3:4, :]
     alphas_in = []
     valids = []
@@ -264,7 +317,6 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         alpha = alpha + w
 
     # ---------------- adjoint ----------------
-    dcarry = dcarry_ref[:]
     d_rgb = [dcarry[0:1, :], dcarry[1:2, :], dcarry[2:3, :]]
     d_alpha = dcarry[3:4, :]
     # d_prev (carry row 4) only matters for preintegrating TFs; the
@@ -290,14 +342,11 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         d_rgba_steps[3][j] = jnp.where(contrib, d_absn * stepsize, 0.0)
         # d_rgb passes through unchanged (rgb_out = rgb_in + w*rgba)
     d_rgba = [jnp.concatenate(d_rgba_steps[c], axis=1) for c in range(4)]
-    dcarry_in_ref[0:3, :] = jnp.concatenate(d_rgb, axis=0)
-    dcarry_in_ref[3:4, :] = d_alpha
-    dcarry_in_ref[4:8, :] = jnp.zeros((4, tile), f32)
+    dcarry_rows = jnp.concatenate(
+        d_rgb + [d_alpha, jnp.zeros((4, tile), f32)], axis=0)
 
     # TF adjoint (reference: piecewise TF control points; gradients for
     # colors/opacity and knot positions, interior-gated subgradients)
-    first = pl.program_id(0) == 0
-
     @pl.when(first)
     def _init_tf():
         for k in range(tf_points):
@@ -372,9 +421,21 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     if has_direction:
         dw1dir_ref[:] += mm_ct(dpre1, dirs)
         dfdir_ref[:] += mm_ct(d_f, dirs)
+    d_lat = None
     if has_latent:
         dw1lat_ref[:] += mm_ct(dpre1, lat)
         d_lat = mm(w1lat_ref[:].T, dpre1)      # (128|16|CL, N)
+    return d_lat, dcarry_rows
+
+
+def _emit_dlat(d_lat, wrep, oh, bf_aux, rows_ref, *, dlat_ref, dslot_ref,
+               rowsout_ref, has_latent, latent_table, latent_subbox,
+               latent_boxfeat, compact_slots, seg, tile):
+    """Convert the raw latent cotangent to the per-segment kernel's
+    output layout (boxfeat sub-box rows / one-hot sub-box / compacted
+    slot rows / per-sample table rows / plain features)."""
+    f32 = jnp.float32
+    if has_latent:
         if latent_boxfeat:
             # dense per-(tile, segment) sub-box gradient via the
             # factorized trilerp transpose: expand d_feat (16, N) with
