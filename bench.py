@@ -13,8 +13,10 @@ Baseline value: the reference stores no numbers (BASELINE.md); we use
 claims (arXiv:2112.01579). Comparing our forward+backward against their
 forward is conservative.
 
-Measures the fused Pallas path: MXU-resident segment-batched MLP march
-with the hand-written adjoint kernel (fvsrn_tpu/ops/fused_dvr[_bwd].py).
+Measures the fused Pallas MEGAKERNEL path: the whole march as one
+pallas_call per bucket (VMEM-resident latent slab, in-kernel latent
+gradient accumulation -- fvsrn_tpu/ops/fused_mega.py) with the
+hand-written adjoint core (fvsrn_tpu/ops/fused_dvr_bwd.py).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
@@ -87,7 +89,7 @@ def main():
     perm, _inv = block_ray_permutation(WIDTH, HEIGHT, 16, 16)
     rs_np, rd_np = rs_np[perm], rd_np[perm]
     plan = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=STEPSIZE,
-                            seg=32, tile=256, n_buckets=6,
+                            seg=32, tile=256, n_buckets=3,
                             grid_sizes=(32, 32, 32))
     ray_start = jnp.asarray(rs_np)
     ray_dir = jnp.asarray(rd_np)
@@ -99,7 +101,7 @@ def main():
                 rs, rd, net, bm, bs, tft, plan=plan, stepsize=STEPSIZE,
                 seg=32, tile=256, enable_early_out=False,
                 differentiable=True, latent_mode="boxfeat",
-                table_dtype=jnp.bfloat16)
+                table_dtype=jnp.bfloat16, engine="mega")
             return jnp.mean(c ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(

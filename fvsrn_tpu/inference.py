@@ -151,7 +151,13 @@ class LoadedModel:
                     raise NotImplementedError(
                         "fused path: 2D preintegration runs on the "
                         "plain-JAX path (PLAIN32 mode)")
+            from .ops.fused_mega import mega_supported
             grid = resolve_grid(self.network.latent)
+            # megakernel engine: whole march in one pallas_call; needs a
+            # VMEM-resident latent slab and the in-kernel piecewise TF
+            engine = ("mega" if "tf_mode" not in kw and grid is not None
+                      and mega_supported(grid.shape, kw["table_dtype"])
+                      else "scan")
             # fast path: boxfeat latent sampling + march-length tile
             # bucketing; needs 16x16-coherent pixel blocks and a latent
             # grid with <= 16 channels
@@ -179,7 +185,7 @@ class LoadedModel:
                     color = fused_trace_dvr_bucketed(
                         rs_d, rd_d, net, self.box_min, self.box_size,
                         tft, plan=plan, seg=32, tile=256,
-                        latent_mode="boxfeat", **kw)
+                        latent_mode="boxfeat", engine=engine, **kw)
                     color = jnp.take(color, inv_d, axis=0)
                     return color.reshape(height, width, 4)
             else:

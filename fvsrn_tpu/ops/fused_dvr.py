@@ -169,11 +169,29 @@ def _fast_sincos(x: Array):
 
 
 def _fast_sin(x: Array) -> Array:
-    return _fast_sincos(x)[0]
+    """sin only: the cos polynomial chain is omitted at the source (not
+    left to DCE) -- this is the hot path of Sine/Snake activations."""
+    q = jnp.floor(x * _INV_PI + 0.5)
+    r = x - q * _PI_HI
+    r = r - q * _PI_MID
+    sign = 1.0 - 2.0 * (q - 2.0 * jnp.floor(q * 0.5))
+    r2 = r * r
+    sp = r * (1.0 + r2 * (-1.0 / 6 + r2 * (1.0 / 120 + r2 * (
+        -1.0 / 5040 + r2 * (1.0 / 362880 + r2 * (-1.0 / 39916800))))))
+    return sign * sp
 
 
 def _fast_cos(x: Array) -> Array:
-    return _fast_sincos(x)[1]
+    """cos only: the sin polynomial chain is omitted at the source (not
+    left to DCE) -- this is the hot path of SnakeAlt activations."""
+    q = jnp.floor(x * _INV_PI + 0.5)
+    r = x - q * _PI_HI
+    r = r - q * _PI_MID
+    sign = 1.0 - 2.0 * (q - 2.0 * jnp.floor(q * 0.5))
+    r2 = r * r
+    cp = 1.0 + r2 * (-0.5 + r2 * (1.0 / 24 + r2 * (-1.0 / 720 + r2 * (
+        1.0 / 40320 + r2 * (-1.0 / 3628800 + r2 * (1.0 / 479001600))))))
+    return sign * cp
 
 
 def block_ray_permutation(width: int, height: int,
@@ -524,13 +542,34 @@ def fused_trace_iso(ray_start: Array, ray_dir: Array, net,
 
 def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
                              box_min, box_size, tf_tensor: Array, *,
-                             plan: RayBucketPlan, **kwargs):
+                             plan: RayBucketPlan, engine: str = "scan",
+                             **kwargs):
     """Run :func:`fused_trace_dvr` per march-length bucket (see
     :func:`plan_ray_buckets`) and reassemble the output in the input ray
     order. ``kwargs`` are forwarded except ``max_steps``/``subbox``,
-    which come from the plan. Jit-safe: the plan is static."""
+    which come from the plan. Jit-safe: the plan is static.
+
+    ``engine="mega"`` runs each bucket through the single-call
+    megakernel (:func:`fvsrn_tpu.ops.fused_mega.mega_trace_dvr`) instead
+    of the per-segment scan -- requires a VMEM-resident latent slab and
+    boxfeat (lattice) semantics."""
     kwargs.pop("max_steps", None)
     kwargs.pop("subbox", None)
+    if engine == "mega":
+        from .fused_mega import mega_trace_dvr
+        kwargs.pop("latent_mode", None)
+        kwargs.pop("segment_remat", None)
+        kwargs.pop("stash_backward", None)
+
+        def trace(rs_, rd_, steps_, spec_):
+            return mega_trace_dvr(rs_, rd_, net, box_min, box_size,
+                                  tf_tensor, max_steps=steps_,
+                                  subbox=spec_, **kwargs)
+    else:
+        def trace(rs_, rd_, steps_, spec_):
+            return fused_trace_dvr(rs_, rd_, net, box_min, box_size,
+                                   tf_tensor, max_steps=steps_,
+                                   subbox=spec_, **kwargs)
     perm = jnp.asarray(plan.perm)
     inv = jnp.asarray(plan.inv)
     rs = jnp.take(ray_start, perm, axis=0)
@@ -539,11 +578,10 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
     ofs = plan.dead
     for size, g_steps, spec in zip(plan.group_sizes, plan.group_steps,
                                    plan.group_specs):
-        outs.append(fused_trace_dvr(
+        outs.append(trace(
             jax.lax.dynamic_slice_in_dim(rs, ofs, size),
             jax.lax.dynamic_slice_in_dim(rd, ofs, size),
-            net, box_min, box_size, tf_tensor,
-            max_steps=g_steps, subbox=spec, **kwargs))
+            g_steps, spec))
         ofs += size
     if plan.dead:
         dead_out = jax.tree.map(
@@ -727,13 +765,28 @@ def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
     if dirs is not None and fdir is not None:
         f += mm(fdir, dirs)
     sinf, cosf = _fast_sincos(f.astype(jnp.float32))
-    h = mm(w1pos, x)
+    # single concatenated first-layer matmul: K-passes on the MXU are
+    # quantized to 128, so 4-5 small-K block matmuls cost 4-5x one
+    # K<=128 matmul (measured ~20 ms/frame at the flagship); the concat
+    # copies are cheap VPU moves
+    in_blocks = [x]
+    w_blocks = [w1pos]
     if dirs is not None and w1dir is not None:
-        h += mm(w1dir, dirs)
-    h += mm(w1cos, cosf.astype(cd))
-    h += mm(w1sin, sinf.astype(cd))
+        in_blocks.append(dirs)
+        w_blocks.append(w1dir)
+    in_blocks += [cosf.astype(cd), sinf.astype(cd)]
+    w_blocks += [w1cos, w1sin]
     if lat is not None:
-        h += mm(w1lat, lat)
+        in_blocks.append(lat)
+        w_blocks.append(w1lat)
+    k_tot = sum(b.shape[0] for b in in_blocks)
+    if k_tot <= 128:
+        h = mm(jnp.concatenate(w_blocks, axis=1),
+               jnp.concatenate([b.astype(cd) for b in in_blocks], axis=0))
+    else:
+        h = mm(w_blocks[0], in_blocks[0])
+        for wb, ib in zip(w_blocks[1:], in_blocks[1:]):
+            h += mm(wb, ib)
     h += b1.astype(jnp.float32)
     pres = [h]
     hs = []
@@ -755,7 +808,14 @@ def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
         pre = mm(hw[k], h) + hb[k].astype(jnp.float32)
         pres.append(pre)
         h = act(pre)
-    y = mm(w_out, h) + b_out.astype(jnp.float32)  # (C_out, N)
+    if w_out.shape[0] == 1:
+        # M=1 output head: an MXU matmul still pays the full pass per
+        # lane-tile for one live sublane; a broadcast-multiply +
+        # sublane reduction on the VPU is ~free next to it
+        y = jnp.sum(w_out.T.astype(jnp.float32) * h.astype(jnp.float32),
+                    axis=0, keepdims=True) + b_out.astype(jnp.float32)
+    else:
+        y = mm(w_out, h) + b_out.astype(jnp.float32)  # (C_out, N)
     out, dv_dy = _apply_output_T(output_mode, y)
     pack = None
     if want_pack:
@@ -977,6 +1037,10 @@ def _boxfeat_features_parts(x, parts, base_y, base_z, xb0, *,
     iox = jax.lax.broadcasted_iota(jnp.int32, (kx, n), 0).astype(f32)
     wx = jnp.where(iox == lx, 1.0 - fx, 0.0) \
         + jnp.where(iox == lx + 1.0, fx, 0.0)          # (KX, N)
+    # joint (z, y) corner one-hot built directly on the VPU: the MXU is
+    # the scarce resource in this kernel (measured: expressing this
+    # build as two MXU-expanded per-axis one-hots REGRESSED the frame
+    # ~10% -- the VPU work hides under the matmuls)
     iozy = jax.lax.broadcasted_iota(jnp.int32, (szycp, n),
                                     0).astype(f32)
     wz2 = (1.0 - fz, fz)

@@ -243,12 +243,26 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         if has_direction:
             fr += mm(fdir_ref[:], dirs)
         sinf, cosf = _fast_sincos(fr)
-        pre1 = mm(w1pos_ref[:], x) + mm(w1cos_ref[:], cosf) \
-            + mm(w1sin_ref[:], sinf)
+        # concatenated first-layer matmul (see _mlp_forward_T: K-pass
+        # quantization makes one K<=128 matmul 4-5x cheaper)
+        in_blocks = [x]
+        w_blocks = [w1pos_ref[:]]
         if has_direction:
-            pre1 += mm(w1dir_ref[:], dirs)
+            in_blocks.append(dirs)
+            w_blocks.append(w1dir_ref[:])
+        in_blocks += [cosf, sinf]
+        w_blocks += [w1cos_ref[:], w1sin_ref[:]]
         if lat is not None:
-            pre1 += mm(w1lat_ref[:], lat)
+            in_blocks.append(lat)
+            w_blocks.append(w1lat_ref[:])
+        k_tot = sum(b.shape[0] for b in in_blocks)
+        if k_tot <= 128:
+            pre1 = mm(jnp.concatenate(w_blocks, axis=1),
+                      jnp.concatenate(in_blocks, axis=0))
+        else:
+            pre1 = mm(w_blocks[0], in_blocks[0])
+            for wb, ib in zip(w_blocks[1:], in_blocks[1:]):
+                pre1 += mm(wb, ib)
         pre1 += b1_ref[:].astype(f32)
         hs = [_apply_act(activation, pre1, act_param)]
         pres = [pre1]
@@ -257,7 +271,9 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
             pres.append(pre)
             hs.append(_apply_act(activation, pre, act_param))
         dacts = None
-    y = mm(wout_ref[:], hs[-1]) + bout_ref[:].astype(f32)  # (1, N)
+    # M=1 head on the VPU (must replay the forward's exact math)
+    y = jnp.sum(wout_ref[:].T.astype(f32) * hs[-1].astype(f32),
+                axis=0, keepdims=True) + bout_ref[:].astype(f32)
     if output_mode == "density:direct":
         value = jnp.clip(y, 0.0, 1.0)
     else:
@@ -397,34 +413,92 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
             dhw[k][:] = jnp.zeros_like(dhw[k])
             dhb[k][:] = jnp.zeros_like(dhb[k])
 
-    dwout_ref[:] += mm_ct(d_y, hs[-1])
     dbout_ref[:] += jnp.sum(d_y, axis=1, keepdims=True)
-    dh = mm(wout_ref[:].T, d_y)
+    h_dim = b1_ref.shape[0]
+    cout = wout_ref.shape[0]
+    if cout == 1:
+        dh = wout_ref[:].T.astype(f32) * d_y      # K=1 outer product
+    else:
+        dh = mm(wout_ref[:].T, d_y)
+    dpres = []
     for k in reversed(range(n_hidden)):
         dpre = dh * (dacts[k + 1] if want_stash
                      else _act_deriv(activation, pres[k + 1], act_param))
-        dhw[k][:] += mm_ct(dpre, hs[k])
+        dpres.insert(0, dpre)
         dhb[k][:] += jnp.sum(dpre, axis=1, keepdims=True)
         dh = mm(hw[k][:].T, dpre)
     dpre1 = dh * (dacts[0] if want_stash
                   else _act_deriv(activation, pres[0], act_param))
     db1_ref[:] += jnp.sum(dpre1, axis=1, keepdims=True)
-    dw1pos_ref[:] += mm_ct(dpre1, x)
-    dw1cos_ref[:] += mm_ct(dpre1, cosf)
-    dw1sin_ref[:] += mm_ct(dpre1, sinf)
-    d_cosf = mm(w1cos_ref[:].T, dpre1)
-    d_sinf = mm(w1sin_ref[:].T, dpre1)
+
+    # Input-side cotangents: stack the transposed first-layer blocks
+    # (8-aligned with zero rows) into one K=H matmul.
+    fcount = cosf.shape[0]
+    f8b = -(-fcount // 8) * 8
+    # Mosaic cannot lower zero-size vectors: only pad when fcount is
+    # not already 8-aligned (zero-row jnp.zeros((0, H)) fails to lower)
+    zpad = ([jnp.zeros((f8b - fcount, h_dim), f32)]
+            if f8b > fcount else [])
+    big_t = [w1cos_ref[:].T.astype(f32)] + zpad \
+        + [w1sin_ref[:].T.astype(f32)] + zpad
+    if has_latent and lat is not None:
+        big_t.append(w1lat_ref[:].T.astype(f32))
+    dd = mm(jnp.concatenate(big_t, axis=0), dpre1)
+    d_cosf = dd[0:fcount, :]
+    d_sinf = dd[f8b:f8b + fcount, :]
     d_f = -sinf * d_cosf + cosf * d_sinf
-    # position gradients (fourier^T d_f + w1pos^T dpre1) are dropped:
-    # camera is not differentiated through the fused path (v1)
-    dfourier_ref[:] += mm_ct(d_f, x)
-    if has_direction:
-        dw1dir_ref[:] += mm_ct(dpre1, dirs)
-        dfdir_ref[:] += mm_ct(d_f, dirs)
     d_lat = None
-    if has_latent:
-        dw1lat_ref[:] += mm_ct(dpre1, lat)
-        d_lat = mm(w1lat_ref[:].T, dpre1)      # (128|16|CL, N)
+    if has_latent and lat is not None:
+        d_lat = dd[2 * f8b:2 * f8b + lat.shape[0], :]  # (128|16|CL, N)
+
+    # ALL weight gradients in two sample-axis mega-contractions: an
+    # mm_ct costs the full N/128 K-passes on the MXU no matter how
+    # narrow its output, so stacking every (cotangent x activation)
+    # pair into one (rows, N)x(cols, N) contraction replaces ~7
+    # contractions with 2 (the outputs are sliced back per block --
+    # lane/sublane selects on small values). Position gradients
+    # (fourier^T d_f + w1pos^T dpre1) are dropped: the camera is not
+    # differentiated through the fused path (v1).
+    def pad8(a):
+        p = (-a.shape[0]) % 8
+        if p:
+            return jnp.concatenate(
+                [a.astype(f32), jnp.zeros((p, a.shape[1]), f32)], axis=0)
+        return a.astype(f32)
+
+    cout8 = -(-cout // 8) * 8
+    # A: lhs [d_y | dpre_1.. | dpre1 | d_f], cols [hs_0.. hs_n | x+dirs]
+    lhs_a = jnp.concatenate(
+        [pad8(d_y)] + dpres + [dpre1, pad8(d_f)], axis=0)
+    xdir = jnp.concatenate(
+        [x] + ([dirs] if has_direction else []), axis=0)
+    cols_a = jnp.concatenate([h.astype(f32) for h in hs] + [pad8(xdir)],
+                             axis=0)
+    ga = mm_ct(lhs_a, cols_a)
+    xoff = (n_hidden + 1) * h_dim
+    dwout_ref[:] += ga[0:cout, n_hidden * h_dim:xoff]
+    for k in range(n_hidden):
+        dhw[k][:] += ga[cout8 + k * h_dim:cout8 + (k + 1) * h_dim,
+                        k * h_dim:(k + 1) * h_dim]
+    r1 = cout8 + n_hidden * h_dim
+    dw1pos_ref[:] += ga[r1:r1 + h_dim, xoff:xoff + 3]
+    rf = r1 + h_dim
+    dfourier_ref[:] += ga[rf:rf + fcount, xoff:xoff + 3]
+    if has_direction:
+        dw1dir_ref[:] += ga[r1:r1 + h_dim, xoff + 3:xoff + 6]
+        dfdir_ref[:] += ga[rf:rf + fcount, xoff + 3:xoff + 6]
+    # B: lhs dpre1, cols [cosf | sinf | lat]
+    cols_b = [pad8(cosf), pad8(sinf)]
+    if has_latent and lat is not None and lat.shape[0] <= 96 - 2 * f8b:
+        cols_b.append(lat.astype(f32))
+        gb = mm_ct(dpre1, jnp.concatenate(cols_b, axis=0))
+        dw1lat_ref[:] += gb[:, 2 * f8b:2 * f8b + lat.shape[0]]
+    else:
+        gb = mm_ct(dpre1, jnp.concatenate(cols_b, axis=0))
+        if has_latent and lat is not None:
+            dw1lat_ref[:] += mm_ct(dpre1, lat)
+    dw1cos_ref[:] += gb[:, 0:fcount]
+    dw1sin_ref[:] += gb[:, f8b:f8b + fcount]
     return d_lat, dcarry_rows
 
 

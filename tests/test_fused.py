@@ -1036,3 +1036,153 @@ def test_fused_direction_plus_normals():
                                np.asarray(ref.color), atol=2e-4)
     np.testing.assert_allclose(np.asarray(got.normal),
                                np.asarray(ref.normal), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Megakernel engine (fvsrn_tpu.ops.fused_mega): the whole march as ONE
+# pallas_call with a VMEM-resident latent slab and in-kernel gradient
+# accumulation. Oracle: the plain path in lattice mode (same sampling
+# convention as boxfeat).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("early_out", [False, True])
+@pytest.mark.parametrize("with_latent", [False, True])
+def test_mega_forward_matches_lattice_plain(with_latent, early_out):
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _scene(with_latent)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                    early_out).color)
+    got = np.asarray(mega_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=early_out, interpret=True))
+    atol = 3e-3 if early_out else 1e-4
+    np.testing.assert_allclose(got, ref, atol=atol)
+    assert ref[:, 3].max() > 0.5
+
+
+def test_mega_backward_matches_autodiff_of_plain():
+    """Megakernel backward (reverse-order single call, in-kernel latent
+    slab gradient accumulation + weight-grad mega-contractions) vs
+    jax.grad of the lattice-mode plain oracle."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(0).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss_mega(net, tft):
+        c = mega_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
+            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            differentiable=True, interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net, tft):
+        out = _plain_lattice(
+            net, TransferFunctionPiecewiseLinear(tensor=tft),
+            rs, rd, stepsize, steps, False).color
+        return jnp.mean((out - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_mega(net, tf.tensor)),
+                               float(loss_plain(net, tf.tensor)),
+                               rtol=1e-5)
+    g_f = jax.grad(loss_mega, argnums=(0, 1))(net, tf.tensor)
+    g_p = jax.grad(loss_plain, argnums=(0, 1))(net, tf.tensor)
+    np.testing.assert_allclose(
+        np.asarray(g_f[0].latent.static_grid),
+        np.asarray(g_p[0].latent.static_grid), atol=2e-5, rtol=1e-3)
+    for lf, lp in zip(g_f[0].layers, g_p[0].layers):
+        np.testing.assert_allclose(np.asarray(lf.weight),
+                                   np.asarray(lp.weight),
+                                   atol=2e-5, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(lf.bias),
+                                   np.asarray(lp.bias),
+                                   atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(g_f[0].input.fourier_matrix),
+        np.asarray(g_p[0].input.fourier_matrix), atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f[1][:, :4]),
+                               np.asarray(g_p[1][:, :4]),
+                               atol=2e-5, rtol=1e-3)
+
+
+def test_mega_bucketed_engine_matches_scan_engine():
+    """fused_trace_dvr_bucketed(engine='mega') == engine='scan' on the
+    same plan (forward and gradients)."""
+    from fvsrn_tpu.ops.fused_dvr import (block_ray_permutation,
+                                         fused_trace_dvr_bucketed,
+                                         plan_ray_buckets)
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    rs_np = np.asarray(rs)
+    rd_np = np.asarray(rd)
+    perm, _ = block_ray_permutation(16, 16, 8, 8)
+    rs_np, rd_np = rs_np[perm], rd_np[perm]
+    plan = plan_ray_buckets(rs_np, rd_np, (-0.5, -0.5, -0.5),
+                            (1.0, 1.0, 1.0), stepsize=stepsize,
+                            seg=16, tile=64, n_buckets=2,
+                            grid_sizes=(8, 8, 8))
+    outs = {}
+    grads = {}
+    for engine in ("scan", "mega"):
+        outs[engine] = np.asarray(fused_trace_dvr_bucketed(
+            jnp.asarray(rs_np), jnp.asarray(rd_np), net,
+            (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor, plan=plan,
+            stepsize=stepsize, seg=16, tile=64, enable_early_out=False,
+            differentiable=False, latent_mode="boxfeat",
+            engine=engine, interpret=True))
+
+        def loss(n, eng=engine):
+            c = fused_trace_dvr_bucketed(
+                jnp.asarray(rs_np), jnp.asarray(rd_np), n,
+                (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+                plan=plan, stepsize=stepsize, seg=16, tile=64,
+                enable_early_out=False, differentiable=True,
+                latent_mode="boxfeat", engine=eng, interpret=True)
+            return jnp.mean(c ** 2)
+
+        grads[engine] = jax.grad(loss)(net)
+    np.testing.assert_allclose(outs["mega"], outs["scan"], atol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads["mega"]),
+                    jax.tree.leaves(grads["scan"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_mega_time_keyframed_grid():
+    """Keyframed latent grids through the megakernel: gradients reach
+    both bracketing keyframes (pre-lerp happens outside the kernel)."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _time_scene(seed=13)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    t = 1.4
+
+    def loss_mega(net):
+        c = mega_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            differentiable=True, time=t, interpret=True)
+        return jnp.mean(c ** 2)
+
+    def loss_plain(net):
+        vol = VolumeInterpolationNetwork.make(net, time=t)
+        cfg = RayEvaluationSteppingDvr.make(stepsize=stepsize,
+                                            enable_early_out=False)
+        out = trace_dvr(rs, rd, vol, tf, cfg, steps, lattice=True).color
+        return jnp.mean(out ** 2)
+
+    np.testing.assert_allclose(float(loss_mega(net)),
+                               float(loss_plain(net)), rtol=1e-5)
+    g_f = jax.grad(loss_mega)(net)
+    g_p = jax.grad(loss_plain)(net)
+    np.testing.assert_allclose(np.asarray(g_f.latent.time_grid),
+                               np.asarray(g_p.latent.time_grid),
+                               atol=2e-5, rtol=1e-3)
+    # the bracketing keyframes actually received gradient
+    gk = np.abs(np.asarray(g_f.latent.time_grid)).sum(axis=(1, 2, 3, 4))
+    assert int((gk > 0).sum()) == 2  # exactly the bracketing keyframes
