@@ -897,20 +897,26 @@ def _mlp_position_grad_T(pack, dv_dy, x, rows_t, fourier, w1pos, w1cos,
             + jnp.where(iox == aux.lx + 1.0, 1.0, 0.0)
         dffx = xfold(aux.m1, wxg)
 
-        iozy = jax.lax.broadcasted_iota(jnp.int32, (szycp, n),
-                                        0).astype(f32)
-        wz2 = (1.0 - aux.fz, aux.fz)
-        wy2 = (1.0 - aux.fy, aux.fy)
-        sgn = (-1.0, 1.0)
-        wzy_dy = jnp.zeros((szycp, n), f32)
-        wzy_dz = jnp.zeros((szycp, n), f32)
-        for dz in (0, 1):
-            for dy in (0, 1):
-                r = (aux.lz + float(dz)) * float(szyc) \
-                    + (aux.ly + float(dy))
-                hit = iozy == r
-                wzy_dy = wzy_dy + jnp.where(hit, wz2[dz] * sgn[dy], 0.0)
-                wzy_dz = wzy_dz + jnp.where(hit, sgn[dz] * wy2[dy], 0.0)
+        ioy = jax.lax.broadcasted_iota(jnp.int32, (szyc, n),
+                                       0).astype(f32)
+        ioz = jax.lax.broadcasted_iota(jnp.int32, (szzc, n),
+                                       0).astype(f32)
+        wyv = jnp.where(ioy == aux.ly, 1.0 - aux.fy, 0.0) \
+            + jnp.where(ioy == aux.ly + 1.0, aux.fy, 0.0)
+        wzv = jnp.where(ioz == aux.lz, 1.0 - aux.fz, 0.0) \
+            + jnp.where(ioz == aux.lz + 1.0, aux.fz, 0.0)
+        dwy = jnp.where(ioy == aux.ly, -1.0, 0.0) \
+            + jnp.where(ioy == aux.ly + 1.0, 1.0, 0.0)
+        dwz = jnp.where(ioz == aux.lz, -1.0, 0.0) \
+            + jnp.where(ioz == aux.lz + 1.0, 1.0, 0.0)
+        zy_pad = szycp - szzc * szyc
+        zpad = ([jnp.zeros((zy_pad, n), f32)] if zy_pad else [])
+        wzy_dy = jnp.concatenate(
+            [wzv[oz:oz + 1, :] * dwy for oz in range(szzc)] + zpad,
+            axis=0)
+        wzy_dz = jnp.concatenate(
+            [dwz[oz:oz + 1, :] * wyv for oz in range(szzc)] + zpad,
+            axis=0)
         m2 = [jax.lax.dot_general(aux.lat_parts[p_], wzy_dy,
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)
@@ -977,7 +983,8 @@ def _subbox_onehot(lrow_ref, sz3p: int, n: int, dtype):
     return (iot == lrow).astype(dtype)
 
 
-def _boxfeat_features(x, lat_ref, base_ref, *, spec_t, grid_sizes):
+def _boxfeat_features(x, lat_ref, base_ref, *, spec_t, grid_sizes,
+                      compute_dtype=jnp.float32):
     """Factorized raw-grid trilerp: the boxfeat in-kernel resolve.
 
     The TPU answer to the reference's 3D-texture latent fetch
@@ -1003,16 +1010,23 @@ def _boxfeat_features(x, lat_ref, base_ref, *, spec_t, grid_sizes):
     parts = [lat_ref[p_ * szycp:(p_ + 1) * szycp, :].astype(jnp.float32)
              for p_ in range(nxb)]
     return _boxfeat_features_parts(x, parts, base_y, base_z, xb0,
-                                   spec_t=spec_t, grid_sizes=grid_sizes)
+                                   spec_t=spec_t, grid_sizes=grid_sizes,
+                                   compute_dtype=compute_dtype)
 
 
 def _boxfeat_features_parts(x, parts, base_y, base_z, xb0, *,
-                            spec_t, grid_sizes):
+                            spec_t, grid_sizes,
+                            compute_dtype=jnp.float32):
     """Core of the factorized trilerp resolve over pre-sliced x-block
     parts (nxb arrays of (SZYCP, 128) f32 rows, row = oz*szyc + oy) and
     traced base scalars. Shared by the per-segment kernel (gathered-row
     layout) and the megakernel (VMEM-resident slab layout, where szyc
-    is the 8-aligned y window and szycp = szzc*szyc)."""
+    is the 8-aligned y window and szycp = szzc*szyc).
+
+    ``compute_dtype=bfloat16`` runs the (128 x SZYCP x N) resolve
+    matmuls natively on the MXU (f32 accumulation); the trilerp weights
+    then carry ~2^-9 relative error -- inside the reference's own fp16
+    fidelity contract (|delta| < 1e-2, unittests/testSRN.cpp:408)."""
     szxc, szyc, szzc, nxb, szycp = spec_t
     gx, gy, gz = grid_sizes
     n = x.shape[1]
@@ -1037,27 +1051,31 @@ def _boxfeat_features_parts(x, parts, base_y, base_z, xb0, *,
     iox = jax.lax.broadcasted_iota(jnp.int32, (kx, n), 0).astype(f32)
     wx = jnp.where(iox == lx, 1.0 - fx, 0.0) \
         + jnp.where(iox == lx + 1.0, fx, 0.0)          # (KX, N)
-    # joint (z, y) corner one-hot built directly on the VPU: the MXU is
-    # the scarce resource in this kernel (measured: expressing this
-    # build as two MXU-expanded per-axis one-hots REGRESSED the frame
-    # ~10% -- the VPU work hides under the matmuls)
-    iozy = jax.lax.broadcasted_iota(jnp.int32, (szycp, n),
-                                    0).astype(f32)
-    wz2 = (1.0 - fz, fz)
-    wy2 = (1.0 - fy, fy)
-    wzy = jnp.zeros((szycp, n), f32)
-    for dz in (0, 1):
-        for dy in (0, 1):
-            r = (lz + float(dz)) * float(szyc) + (ly + float(dy))
-            wzy = wzy + jnp.where(iozy == r, wz2[dz] * wy2[dy], 0.0)
+    # (z, y) corner weights built per axis and Khatri-Rao'd on the VPU:
+    # the joint (SZYCP, N) one-hot build (4 compare+select+fma passes
+    # over the full row window) was ~4x the vreg work of two small
+    # per-axis one-hots plus szzc sublane-broadcast multiplies.
+    # (MXU-expanded one-hots measured WORSE than either -- the VPU work
+    # hides under the matmuls only until the VPU is the critical path.)
+    ioy = jax.lax.broadcasted_iota(jnp.int32, (szyc, n), 0).astype(f32)
+    wyv = jnp.where(ioy == ly, 1.0 - fy, 0.0) \
+        + jnp.where(ioy == ly + 1.0, fy, 0.0)          # (szyc, N)
+    ioz = jax.lax.broadcasted_iota(jnp.int32, (szzc, n), 0).astype(f32)
+    wzv = jnp.where(ioz == lz, 1.0 - fz, 0.0) \
+        + jnp.where(ioz == lz + 1.0, fz, 0.0)          # (szzc, N)
+    zy_pad = szycp - szzc * szyc      # sublane-alignment pad rows
+    wzy = jnp.concatenate(
+        [wzv[oz:oz + 1, :] * wyv for oz in range(szzc)]
+        + ([jnp.zeros((zy_pad, n), f32)] if zy_pad else []), axis=0)
 
     lat_parts = []
     m1 = []
+    wzy_c = wzy.astype(compute_dtype)
     for p_ in range(nxb):
         part = parts[p_]
         lat_parts.append(part)
         m1.append(jax.lax.dot_general(
-            part, wzy, (((0,), (0,)), ((), ())),
+            part.astype(compute_dtype), wzy_c, (((0,), (0,)), ((), ())),
             preferred_element_type=f32))               # (128, N)
     feat = jnp.zeros((16, n), f32)
     for p_ in range(nxb):
@@ -1094,7 +1112,8 @@ def _latent_features(x, lat_ref, lrow_ref, *, has_latent, latent_table,
     if latent_boxfeat:
         feat, aux = _boxfeat_features(x, lat_ref, base_ref,
                                       spec_t=latent_boxfeat,
-                                      grid_sizes=grid_sizes)
+                                      grid_sizes=grid_sizes,
+                                      compute_dtype=compute_dtype)
         return feat, None, None, aux
     if latent_subbox:
         sz3p = latent_subbox[3]

@@ -275,7 +275,7 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             lat, _aux = _boxfeat_features_parts(
                 x, parts, by8.astype(f32), bz.astype(f32),
                 xb0.astype(f32), spec_t=mspec.wspec,
-                grid_sizes=grid_sizes)
+                grid_sizes=grid_sizes, compute_dtype=compute_dtype)
         value, _dv, _pack = _mlp_forward_T(
             x, dirs, lat, fourier_ref[:],
             fdir_ref[:] if has_direction else None, w1pos_ref[:],
@@ -391,7 +391,7 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             lat, bf_aux = _boxfeat_features_parts(
                 x, parts, by8.astype(f32), bz.astype(f32),
                 xb0.astype(f32), spec_t=mspec.wspec,
-                grid_sizes=grid_sizes)
+                grid_sizes=grid_sizes, compute_dtype=compute_dtype)
         weight_refs = (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref,
                        w1cos_ref, w1sin_ref, w1lat_ref, b1_ref,
                        tuple(hw), tuple(hb), wout_ref, bout_ref, tf_ref)
@@ -416,12 +416,14 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             # the (szzc, by8, nxb*128) window and accumulated into the
             # resident gradient slab -- the in-kernel scatter
             parts_d = []
+            cd = compute_dtype
+            wzy_c = bf_aux.wzy.astype(cd)
             for p_ in range(mspec.nxb):
                 dm1 = jnp.concatenate(
                     [bf_aux.wx[p_ * 8 + rr:p_ * 8 + rr + 1, :] * d_lat
                      for rr in range(8)], axis=0)        # (128, N)
                 parts_d.append(jax.lax.dot_general(
-                    bf_aux.wzy, dm1, (((1,), (1,)), ((), ())),
+                    wzy_c, dm1.astype(cd), (((1,), (1,)), ((), ())),
                     preferred_element_type=f32))         # (WROWS, 128)
             dbox = jnp.concatenate(parts_d, axis=1)
             dbox3 = dbox.reshape(mspec.szzc, mspec.by8,

@@ -80,7 +80,7 @@ def capture():
 
 
 def analyze():
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
     files = glob.glob(os.path.join(
         TRACE_DIR, "plugins/profile/*/*.xplane.pb"))
     assert files, "no xplane found"
