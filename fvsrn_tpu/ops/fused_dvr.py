@@ -144,11 +144,11 @@ def build_neighborhood_table(grid: Array) -> Array:
 # Mosaic lowers jnp.sin/cos to a full-precision expansion that dominates the
 # forward kernel (measured: 0.43s of a 0.57s kernel is the SnakeAlt cos at
 # 512^2). The fourier features and pre-activations here are bounded
-# (|x| < ~1e3), so a 2-term Cody-Waite reduction mod pi plus odd/even Taylor
-# polynomials (degree 11/12, max error ~4e-7 on the reduced range) is exact
-# enough for the fused-vs-plain 1e-4 contract at a fraction of the cost. The
-# reference makes the same trade on the SFU (__sinf/__cosf half2 paths,
-# renderer_activations.cuh).
+# (|x| < ~1e3), so a 2-term Cody-Waite reduction mod pi plus odd/even minimax
+# polynomials (degree 7/8, max error ~1e-6 on the reduced range, fitted on
+# Chebyshev nodes) is exact enough for the fused-vs-plain 1e-4 contract at a
+# fraction of the cost. The reference makes the same trade on the SFU
+# (__sinf/__cosf half2 paths, renderer_activations.cuh).
 _PI_HI = 3.140625                 # exact in f32 (12 mantissa bits)
 _PI_MID = 0.0009676535846665502   # f32(pi - _PI_HI)
 _INV_PI = 0.3183098861837907
@@ -159,12 +159,13 @@ def _fast_sincos(x: Array):
     q = jnp.floor(x * _INV_PI + 0.5)
     r = x - q * _PI_HI
     r = r - q * _PI_MID            # r in [-pi/2, pi/2]
-    sign = 1.0 - 2.0 * (q - 2.0 * jnp.floor(q * 0.5))  # (-1)^q
+    m = q * 0.5
+    sign = 1.0 - 4.0 * (m - jnp.floor(m))               # (-1)^q
     r2 = r * r
-    sp = r * (1.0 + r2 * (-1.0 / 6 + r2 * (1.0 / 120 + r2 * (
-        -1.0 / 5040 + r2 * (1.0 / 362880 + r2 * (-1.0 / 39916800))))))
-    cp = 1.0 + r2 * (-0.5 + r2 * (1.0 / 24 + r2 * (-1.0 / 720 + r2 * (
-        1.0 / 40320 + r2 * (-1.0 / 3628800 + r2 * (1.0 / 479001600))))))
+    sp = r * (1.0 + r2 * (-0.1666565 + r2 * (
+        8.31203e-3 + r2 * -1.8483e-4)))
+    cp = 1.0 + r2 * (-0.499999303 + r2 * (4.16639475e-2 + r2 * (
+        -1.38556588e-3 + r2 * 2.31890533e-5)))
     return sign * sp, sign * cp
 
 
@@ -174,10 +175,11 @@ def _fast_sin(x: Array) -> Array:
     q = jnp.floor(x * _INV_PI + 0.5)
     r = x - q * _PI_HI
     r = r - q * _PI_MID
-    sign = 1.0 - 2.0 * (q - 2.0 * jnp.floor(q * 0.5))
+    m = q * 0.5
+    sign = 1.0 - 4.0 * (m - jnp.floor(m))
     r2 = r * r
-    sp = r * (1.0 + r2 * (-1.0 / 6 + r2 * (1.0 / 120 + r2 * (
-        -1.0 / 5040 + r2 * (1.0 / 362880 + r2 * (-1.0 / 39916800))))))
+    sp = r * (1.0 + r2 * (-0.1666565 + r2 * (
+        8.31203e-3 + r2 * -1.8483e-4)))
     return sign * sp
 
 
@@ -187,10 +189,11 @@ def _fast_cos(x: Array) -> Array:
     q = jnp.floor(x * _INV_PI + 0.5)
     r = x - q * _PI_HI
     r = r - q * _PI_MID
-    sign = 1.0 - 2.0 * (q - 2.0 * jnp.floor(q * 0.5))
+    m = q * 0.5
+    sign = 1.0 - 4.0 * (m - jnp.floor(m))
     r2 = r * r
-    cp = 1.0 + r2 * (-0.5 + r2 * (1.0 / 24 + r2 * (-1.0 / 720 + r2 * (
-        1.0 / 40320 + r2 * (-1.0 / 3628800 + r2 * (1.0 / 479001600))))))
+    cp = 1.0 + r2 * (-0.499999303 + r2 * (4.16639475e-2 + r2 * (
+        -1.38556588e-3 + r2 * 2.31890533e-5)))
     return sign * cp
 
 
