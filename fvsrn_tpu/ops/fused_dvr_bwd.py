@@ -34,6 +34,10 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# perf-ablation seams (tools/ablate_bwd_core.py): names in _ABLATE gut
+# the matching section of bwd_segment_core for timing-only builds
+_ABLATE = frozenset()
+
 from .fused_dvr import (FusedWeights, _act_value_deriv, _fast_sin,
                         _fast_sincos, _latent_features,
                         _weight_list as weights_list)
@@ -354,34 +358,43 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         # suffix-composed in log depth; d_rgb passes through unchanged.
         s_mix = (d_rgb[0] * rgba[0] + d_rgb[1] * rgba[1]
                  + d_rgb[2] * rgba[2])              # (seg, tile)
-        e = jnp.where(contrib, ca, 0.0)
-        P = 1.0 - e
-        Q = -e * s_mix
-        k = 1
-        while k < seg:
-            Pup = jnp.concatenate(
-                [P[k:], jnp.ones((k, tile), f32)], axis=0)
-            Qup = jnp.concatenate(
-                [Q[k:], jnp.zeros((k, tile), f32)], axis=0)
-            Q = P * Qup + Q
-            P = P * Pup
-            k *= 2
-        d_alpha_in = dcarry[3:4, :]
-        # cotangent wrt alpha AFTER step j = suffix map over j+1..end
-        Pa = jnp.concatenate([P[1:], jnp.ones((1, tile), f32)], axis=0)
-        Qa = jnp.concatenate([Q[1:], jnp.zeros((1, tile), f32)], axis=0)
-        d_alpha_after = Pa * d_alpha_in + Qa        # (seg, tile)
-        dw = s_mix + d_alpha_after
-        d_rgba = [w * d_rgb[c] for c in range(3)]
-        d_ca = jnp.where(contrib, trans_in * dw, 0.0)
-        if blend_beer:
-            d_absn = d_ca * jnp.exp(-absn)
+        if "blendadj" in _ABLATE:               # timing-only fake
+            d_rgba = [w * d_rgb[c] for c in range(3)]
+            d_rgba.append(s_mix * stepsize)
+            dcarry_rows = jnp.concatenate(
+                d_rgb + [dcarry[3:4, :] * 0.5,
+                         jnp.zeros((4, tile), f32)], axis=0)
         else:
-            d_absn = d_ca * (absn < 1.0)
-        d_rgba.append(d_absn * stepsize)
-        d_alpha0 = P[0:1, :] * d_alpha_in + Q[0:1, :]
-        dcarry_rows = jnp.concatenate(
-            d_rgb + [d_alpha0, jnp.zeros((4, tile), f32)], axis=0)
+            e = jnp.where(contrib, ca, 0.0)
+            P = 1.0 - e
+            Q = -e * s_mix
+            k = 1
+            while k < seg:
+                Pup = jnp.concatenate(
+                    [P[k:], jnp.ones((k, tile), f32)], axis=0)
+                Qup = jnp.concatenate(
+                    [Q[k:], jnp.zeros((k, tile), f32)], axis=0)
+                Q = P * Qup + Q
+                P = P * Pup
+                k *= 2
+            d_alpha_in = dcarry[3:4, :]
+            # cotangent wrt alpha AFTER step j = suffix over j+1..end
+            Pa = jnp.concatenate([P[1:], jnp.ones((1, tile), f32)],
+                                 axis=0)
+            Qa = jnp.concatenate([Q[1:], jnp.zeros((1, tile), f32)],
+                                 axis=0)
+            d_alpha_after = Pa * d_alpha_in + Qa    # (seg, tile)
+            dw = s_mix + d_alpha_after
+            d_rgba = [w * d_rgb[c] for c in range(3)]
+            d_ca = jnp.where(contrib, trans_in * dw, 0.0)
+            if blend_beer:
+                d_absn = d_ca * jnp.exp(-absn)
+            else:
+                d_absn = d_ca * (absn < 1.0)
+            d_rgba.append(d_absn * stepsize)
+            d_alpha0 = P[0:1, :] * d_alpha_in + Q[0:1, :]
+            dcarry_rows = jnp.concatenate(
+                d_rgb + [d_alpha0, jnp.zeros((4, tile), f32)], axis=0)
     else:
         # ---- sequential replay (alpha-dependent gating) ----
         alpha = carry[3:4, :]
@@ -445,7 +458,7 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
                 dtf_ref[k, c] = jnp.float32(0.0)
 
     d_dclip = jnp.zeros_like(d_clip)
-    for k in range(tf_points - 1):
+    for k in (range(tf_points - 1) if "tfadj" not in _ABLATE else ()):
         p0 = knots[k]
         p1 = knots[k + 1]
         sel = sels[k]
@@ -543,6 +556,8 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         return a.astype(f32)
 
     cout8 = -(-cout // 8) * 8
+    if "wgrad" in _ABLATE:                       # timing-only
+        return d_lat, dcarry_rows
     # A: lhs [d_y | dpre_1.. | dpre1 | d_f], cols [hs_0.. hs_n | x+dirs]
     lhs_a = jnp.concatenate(
         [pad8(d_y)] + dpres + [dpre1, pad8(d_f)], axis=0)

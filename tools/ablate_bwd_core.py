@@ -67,6 +67,13 @@ def main():
 
     bench("full fwdbwd")
 
+    for name in ("blendadj", "tfadj", "wgrad"):
+        fused_dvr_bwd._ABLATE = frozenset({name})
+        try:
+            bench(f"no-{name} fwdbwd")
+        finally:
+            fused_dvr_bwd._ABLATE = frozenset()
+
     # --- notrig: gut trig in the BWD module only ---
     real_sc = fused_dvr_bwd._fast_sincos
     real_avd = fused_dvr_bwd._act_value_deriv
