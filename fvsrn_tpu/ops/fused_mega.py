@@ -250,6 +250,11 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             [jnp.zeros((4, tile), f32), jnp.full((1, tile), -1.0, f32),
              jnp.zeros((3, tile), f32)], axis=0)
 
+    if differentiable:
+        # stash the incoming carry for EVERY (tile, segment) program --
+        # the backward replays the same saturation vote on it, so
+        # early-out composes with the exact gated adjoint
+        carries_ref[0] = out_ref[:]
     run = bases_ref[0, 0, 3] > 0
     if early_alpha < 1.5:
         # per-ray-tile saturation vote (the reference's warp-sync
@@ -259,8 +264,6 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
     @pl.when(run)
     def _body():
         carry = out_ref[:]
-        if differentiable:
-            carries_ref[0] = carry
         rays = rays_ref[:]
         k0 = k0t_ref[0, 0, 0]
         sf = s.astype(f32)
@@ -312,7 +315,7 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
                      tf_points: int, blend_beer: bool,
                      seg: int, tile: int, n_seg: int,
                      density_min: float, density_max: float,
-                     stepsize: float,
+                     stepsize: float, early_alpha: float,
                      box_min: tuple, box_size: tuple,
                      compute_dtype, has_direction: bool):
     """Backward of one (ray-tile, segment) program, segments visited in
@@ -373,6 +376,11 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
         dcarry_s[:] = dout_ref[:]
 
     run = bases_ref[0, 0, 3] > 0
+    if early_alpha < 1.5:
+        # replay the forward's per-tile saturation vote on the STORED
+        # incoming carry -- the adjoint gates exactly where the forward
+        # gated (skipped segments pass dcarry through unchanged)
+        run = run & (jnp.min(carries_ref[0, 3, :]) < early_alpha)
 
     @pl.when(run)
     def _body():
@@ -599,8 +607,7 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
 
     out_spec = pl.BlockSpec((8, tile), lambda t, s: (0, t),
                             memory_space=pltpu.VMEM)
-    early = (float(alpha_early_out)
-             if enable_early_out and not differentiable else 2.0)
+    early = float(alpha_early_out) if enable_early_out else 2.0
 
     if not differentiable:
         kernel = functools.partial(_mega_fwd_kernel, early_alpha=early,
@@ -625,20 +632,25 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                        slab_shape=(slab.shape if has_latent else None),
                        slab_dtype=table_dtype, n_hidden=len(
                            weights.hidden_w),
-                       interpret=interpret)
+                       early_alpha=early, interpret=interpret)
     carry = op(k0t, bases, rays_packet, slab, weights, tf_pad)
     return carry[:4].T
 
 
 def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
                   out_spec, wlist_shapes, has_latent, slab_shape,
-                  slab_dtype, n_hidden, interpret):
+                  slab_dtype, n_hidden, early_alpha=2.0, interpret):
     """custom-VJP megakernel op: forward emits the per-(tile, segment)
-    incoming carries; backward is one reverse-order megakernel call."""
+    incoming carries; backward is one reverse-order megakernel call.
+    ``early_alpha < 1.5`` enables the per-tile saturation vote in BOTH
+    directions (the backward re-votes on the stored carries), so the
+    adjoint differentiates exactly the gated function the forward
+    computes -- the round-1 fwd/bwd gating mismatch cannot recur."""
     dtype = jnp.float32
     carries_spec = pl.BlockSpec((1, 8, tile), lambda t, s: (s, 0, t),
                                 memory_space=pltpu.VMEM)
-    kernel_fwd = functools.partial(_mega_fwd_kernel, early_alpha=2.0,
+    kernel_fwd = functools.partial(_mega_fwd_kernel,
+                                   early_alpha=early_alpha,
                                    differentiable=True, **statics)
     fwd_call = pl.pallas_call(
         kernel_fwd,
@@ -653,7 +665,7 @@ def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
     )
 
     kernel_bwd = functools.partial(_mega_bwd_kernel, n_seg=n_seg,
-                                   **statics)
+                                   early_alpha=early_alpha, **statics)
     bwd_in_specs = list(in_specs[:3]) + (
         [in_specs[3]] if has_latent else []) + [
         pl.BlockSpec((1, 8, tile), lambda t, s: (n_seg - 1 - s, 0, t),

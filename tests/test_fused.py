@@ -1078,6 +1078,7 @@ def test_mega_backward_matches_autodiff_of_plain():
         c = mega_trace_dvr(
             rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
             stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            enable_early_out=False,
             differentiable=True, interpret=True)
         return jnp.mean((c - tgt) ** 2)
 
@@ -1108,6 +1109,92 @@ def test_mega_backward_matches_autodiff_of_plain():
     np.testing.assert_allclose(np.asarray(g_f[1][:, :4]),
                                np.asarray(g_p[1][:, :4]),
                                atol=2e-5, rtol=1e-3)
+
+
+def test_mega_differentiable_early_out_exact_gated_adjoint():
+    """Differentiable early-out in the megakernel: the forward applies
+    the per-tile saturation vote and the backward re-votes on the
+    STORED per-segment carries, so the adjoint differentiates exactly
+    the gated function the forward computes. Checks (a) the gated
+    differentiable forward equals the gated non-differentiable forward
+    bitwise-close, (b) the custom VJP matches central finite
+    differences of the gated forward itself (check_adjoint harness
+    shape, reference unittests/check_adjoint.h:34-80)."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, _rs, _rd = _scene(True)
+    # crank opacity AND aim a tight bundle through the box so WHOLE ray
+    # tiles saturate mid-march (the vote is per-tile: min-over-tile
+    # alpha must pass alpha_early_out; tiles containing box-missing
+    # rays can never vote -- the reference's warp vote behaves the same)
+    tft0 = np.asarray(tf.tensor).copy()
+    tft0[1:, 3] = 600.0
+    tf = TransferFunctionPiecewiseLinear(tensor=jnp.asarray(tft0))
+    rng = np.random.default_rng(5)
+    n_rays = 128
+    origin = np.array([0.0, 0.0, -1.2], np.float32)
+    rs = (origin + 0.08 * rng.standard_normal((n_rays, 3))
+          ).astype(np.float32)
+    rd = np.array([0.0, 0.0, 1.0], np.float32) \
+        + 0.02 * rng.standard_normal((n_rays, 3)).astype(np.float32)
+    rd = (rd / np.linalg.norm(rd, axis=1, keepdims=True)).astype(
+        np.float32)
+    rs = jnp.asarray(rs)
+    rd = jnp.asarray(rd)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+
+    def fwd(net, tft, diff):
+        return mega_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
+            stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+            enable_early_out=True, alpha_early_out=0.9,
+            differentiable=diff, interpret=True)
+
+    c_nd = np.asarray(fwd(net, tf.tensor, False))
+    c_d = np.asarray(fwd(net, tf.tensor, True))
+    assert c_nd[:, 3].max() > 0.9          # saturation actually occurs
+    np.testing.assert_allclose(c_d, c_nd, atol=1e-6)
+    # gating actually drops segments vs the ungated function
+    c_ungated = np.asarray(mega_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, differentiable=True, interpret=True))
+    assert np.abs(c_d - c_ungated).max() > 1e-6
+
+    tgt = np.random.default_rng(3).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss(net, tft):
+        return jnp.mean((fwd(net, tft, True) - tgt) ** 2)
+
+    g_net, g_tf = jax.grad(loss, argnums=(0, 1))(net, tf.tensor)
+    # central finite differences of the SAME gated function along the
+    # gradient direction for a few leaves
+    for get, gval in [
+            (lambda n: n.layers[0].weight, g_net.layers[0].weight),
+            (lambda n: n.latent.static_grid, g_net.latent.static_grid)]:
+        rng = np.random.default_rng(11)
+        v = rng.standard_normal(get(net).shape).astype(np.float32)
+        v /= np.linalg.norm(v)
+        eps = 3e-3
+
+        def shifted(t):
+            flat, tree = jax.tree.flatten(net)
+            base = get(net)
+            repl = jnp.asarray(np.asarray(base) + t * v)
+            n2 = jax.tree.unflatten(tree, flat)
+            # rebuild with the shifted leaf
+            if base is net.layers[0].weight:
+                layers = list(n2.layers)
+                layers[0] = layers[0].replace(weight=repl)
+                return n2.replace(layers=tuple(layers))
+            return n2.replace(latent=n2.latent.replace(static_grid=repl))
+
+        f_p = float(loss(shifted(+eps), tf.tensor))
+        f_m = float(loss(shifted(-eps), tf.tensor))
+        fd = (f_p - f_m) / (2 * eps)
+        an = float(jnp.sum(jnp.asarray(gval) * v))
+        assert abs(fd - an) <= 2e-3 * max(1.0, abs(fd)), (fd, an)
 
 
 def test_mega_bucketed_engine_matches_scan_engine():
@@ -1166,6 +1253,7 @@ def test_mega_time_keyframed_grid():
         c = mega_trace_dvr(
             rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
             stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            enable_early_out=False,
             differentiable=True, time=t, interpret=True)
         return jnp.mean(c ** 2)
 
