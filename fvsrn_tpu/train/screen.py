@@ -98,6 +98,44 @@ def build_screen_dataset(volume, tf, config: RayEvaluationSteppingDvr,
     return ds
 
 
+def screen_mega_kwargs(dataset: "ScreenDataset", network, *,
+                       stepsize: float, max_steps: int,
+                       seg: int = 32, tile: int = 256,
+                       block: int = 16, interpret: bool = False) -> dict:
+    """Precompute the static state that lets screen-space training run
+    through the MEGAKERNEL engine under jit: a pixel-block permutation
+    (spatially coherent ray tiles) and ONE boxfeat footprint certificate
+    over the union of all training cameras' rays (the occupancy-chooser
+    pre-pass; certify_boxfeat needs concrete rays, so it runs here, once
+    -- inside the jitted train step only the static spec is consumed).
+    Returns a ``fused_kwargs`` dict for :func:`evaluate_screen` /
+    :func:`make_dp_screen_train_step` (``engine="mega"``)."""
+    from ..models.network_volume import VolumeInterpolationNetwork
+    from ..ops.fused_dvr import (block_ray_permutation, certify_boxfeat)
+    netvol = VolumeInterpolationNetwork.make(network)
+    w, h = dataset.width, dataset.height
+    bw = bh = block
+    if w * h < tile:
+        raise ValueError("image smaller than one ray tile")
+    perm, inv = block_ray_permutation(w, h, bw, bh)
+    rs = np.asarray(dataset.ray_start)[:, perm].reshape(-1, 3)
+    rd = np.asarray(dataset.ray_dir)[:, perm].reshape(-1, 3)
+    grid = network.latent.static_grid if network.latent is not None \
+        else None
+    if grid is None:
+        spec = None
+    else:
+        gs = (int(grid.shape[3]), int(grid.shape[2]),
+              int(grid.shape[1]))
+        spec = certify_boxfeat(
+            rs, rd, gs, np.asarray(netvol.box_min),
+            np.asarray(netvol.box_size), stepsize=float(stepsize),
+            max_steps=max_steps, seg=seg, tile=tile)
+    return dict(engine="mega", subbox=(spec if spec is not None else 0),
+                block_perm=perm, block_perm_inv=inv, seg=seg,
+                tile=tile, interpret=interpret)
+
+
 def evaluate_screen(network, batch_rays_start, batch_rays_dir,
                     batch_targets, tf, config: RayEvaluationSteppingDvr,
                     loss: LossNetScreen, max_steps: int,
@@ -105,9 +143,34 @@ def evaluate_screen(network, batch_rays_start, batch_rays_dir,
                     fused_kwargs: Optional[dict] = None):
     """Differentiable render + image loss
     (reference: evaluation.py:17-57). ``fused_kwargs``: extra static
-    options for the fused kernel (seg/tile/latent_mode/subbox/interpret)."""
+    options for the fused kernel (seg/tile/latent_mode/subbox/interpret);
+    ``engine="mega"`` (see :func:`screen_mega_kwargs`) routes the render
+    through the single-call megakernel with differentiable early-out
+    (exact gated adjoint)."""
     netvol = VolumeInterpolationNetwork.make(network)
-    if use_fused:
+    fk = dict(fused_kwargs or {})
+    engine = fk.pop("engine", "scan") if use_fused else "scan"
+    if use_fused and engine == "mega":
+        from ..ops.fused_mega import mega_trace_dvr
+        perm = fk.pop("block_perm", None)
+        inv = fk.pop("block_perm_inv", None)
+        hw = width * height
+        rs = batch_rays_start.reshape(-1, hw, 3)
+        rd = batch_rays_dir.reshape(-1, hw, 3)
+        if perm is not None:
+            pj = jnp.asarray(perm)
+            rs = jnp.take(rs, pj, axis=1)
+            rd = jnp.take(rd, pj, axis=1)
+        color = mega_trace_dvr(
+            rs.reshape(-1, 3), rd.reshape(-1, 3), network,
+            np.asarray(netvol.box_min), np.asarray(netvol.box_size),
+            tf.tensor, stepsize=float(np.asarray(config.stepsize)),
+            max_steps=max_steps, differentiable=True, **fk)
+        color = color.reshape(-1, hw, 4)
+        if inv is not None:
+            color = jnp.take(color, jnp.asarray(inv), axis=1)
+        color = color.reshape(-1, 4)
+    elif use_fused:
         from ..ops.fused_dvr import fused_trace_dvr
         color = fused_trace_dvr(
             batch_rays_start.reshape(-1, 3),
@@ -115,7 +178,7 @@ def evaluate_screen(network, batch_rays_start, batch_rays_dir,
             np.asarray(netvol.box_min), np.asarray(netvol.box_size),
             tf.tensor, stepsize=float(np.asarray(config.stepsize)),
             max_steps=max_steps, enable_early_out=False,
-            differentiable=True, **(fused_kwargs or {}))
+            differentiable=True, **fk)
     else:
         out = trace_dvr(batch_rays_start.reshape(-1, 3),
                         batch_rays_dir.reshape(-1, 3), netvol, tf,
@@ -133,7 +196,8 @@ def train_screen(network, dataset: ScreenDataset, tf,
                  optimizer: optax.GradientTransformation,
                  *, epochs: int, cameras_per_batch: int = 1,
                  max_steps: Optional[int] = None, key=None,
-                 use_fused: bool = False, callback=None):
+                 use_fused: bool = False, fused_kwargs=None,
+                 callback=None):
     """Epoch loop over camera minibatches
     (reference: train_volnet.py:238-251, screen mode).
 
@@ -151,7 +215,8 @@ def train_screen(network, dataset: ScreenDataset, tf,
         def loss_fn(net):
             total, individual = evaluate_screen(
                 net, rs, rd, tgt, tf, config, loss, max_steps,
-                dataset.width, dataset.height, use_fused=use_fused)
+                dataset.width, dataset.height, use_fused=use_fused,
+                fused_kwargs=fused_kwargs)
             return total, individual
 
         (total, individual), grads = jax.value_and_grad(

@@ -81,3 +81,51 @@ def test_train_screen_dp_loss_drops():
     result = run(opt)
     h = result["history"]
     assert len(h) == 3 and h[-1] < h[0]
+
+
+def test_screen_training_mega_engine():
+    """Screen training through the MEGAKERNEL engine under jit: the
+    footprint certificate + pixel-block permutation are precomputed
+    once (screen_mega_kwargs); the jitted step consumes only the static
+    spec. Checks the mega forward equals the lattice-mode plain render
+    through evaluate_screen, and that training reduces the loss."""
+    from fvsrn_tpu.models.latent import LatentSpace
+    from fvsrn_tpu.train.screen import evaluate_screen, screen_mega_kwargs
+
+    vol, tf, cfg = _setup()
+    ds = build_screen_dataset(vol, tf, cfg, num_cameras=3, width=32,
+                              height=32)
+    rng = np.random.default_rng(4)
+    latent = LatentSpace(static_grid=(
+        rng.standard_normal((4, 8, 8, 8)) * 0.1).astype(np.float32))
+    net = SceneRepresentationNetwork.make(
+        layers="16:16", activation="SnakeAlt:1", num_fourier=4,
+        output_mode="density", latent=latent, seed=11)
+    loss = LossNetScreen(l1=1.0, l2=1.0)
+    steps = 48
+    fk = screen_mega_kwargs(ds, net, stepsize=float(cfg.stepsize),
+                            max_steps=steps, seg=8, tile=64,
+                            interpret=True)
+
+    # forward parity vs the plain path in lattice mode (the megakernel's
+    # sampling convention), early-out off on both sides
+    from fvsrn_tpu.models.network_volume import VolumeInterpolationNetwork
+    from fvsrn_tpu.raytracer.dvr import trace_dvr
+    fk_ng = dict(fk, enable_early_out=False)
+    total_mega, _ = evaluate_screen(
+        net, ds.ray_start[:1], ds.ray_dir[:1], ds.targets[:1], tf, cfg,
+        loss, steps, 32, 32, use_fused=True, fused_kwargs=fk_ng)
+    netvol = VolumeInterpolationNetwork.make(net)
+    out = trace_dvr(ds.ray_start[0], ds.ray_dir[0], netvol, tf,
+                    cfg, steps, lattice=True).color
+    pred = jnp.moveaxis(out.reshape(1, 32, 32, 4), -1, 1)
+    ref = jnp.moveaxis(ds.targets[:1].reshape(1, 32, 32, 4), -1, 1)
+    total_plain = loss(pred, ref)
+    np.testing.assert_allclose(float(total_mega), float(total_plain),
+                               rtol=1e-4)
+
+    opt = make_optimizer("Adam", lr=5e-3, lr_step=1000, lr_gamma=0.5)
+    net2, hist = train_screen(net, ds, tf, cfg, loss, opt, epochs=6,
+                              cameras_per_batch=1, max_steps=steps,
+                              use_fused=True, fused_kwargs=fk)
+    assert hist[-1] < hist[0], hist
