@@ -747,27 +747,71 @@ def _apply_output_T(mode: str, y: Array):
     return jnp.concatenate([rgb, o], axis=0), None
 
 
+def _fourier_sincos_rot(f0, df, seg: int):
+    """(sin, cos) of the whole (F, seg*tile) fourier phase block from
+    ONE evaluated step block plus a per-ray step increment, via
+    log-depth angle doubling: block j+m = block j rotated by m*df.
+
+    Valid because lattice marching advances the phase LINEARLY along
+    the step axis (x_k = x_0 + k*h*d -> f_k = f_0 + k*(h fourier@d)),
+    so trig is evaluated 2F times per RAY instead of 2F per SAMPLE
+    (~3x less VPU work than 32 :func:`_fast_sincos` blocks; rotation
+    error compounds through <= log2(seg)+log2(seg) f32 fmas, ~1e-5).
+    The reference has no analog -- its SFU evaluates per sample
+    (renderer_volume_tensorcores.cuh fourier block); this trades on
+    the TPU's lattice-aligned sampling.
+    """
+    s0, c0 = _fast_sincos(f0)
+    sm, cm = _fast_sincos(df)
+    bs_, bc_ = [s0], [c0]
+    m = 1
+    while m < seg:
+        take = min(m, seg - m)
+        for j in range(take):
+            a_s, a_c = bs_[j], bc_[j]
+            bs_.append(a_s * cm + a_c * sm)
+            bc_.append(a_c * cm - a_s * sm)
+        m *= 2
+        if m < seg:
+            sm, cm = 2.0 * sm * cm, cm * cm - sm * sm
+    return jnp.concatenate(bs_, axis=1), jnp.concatenate(bc_, axis=1)
+
+
 def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
                    w1lat, b1, hw, hb, w_out, b_out,
                    *, activation, act_param, output_mode, compute_dtype,
-                   want_pack: bool = False, want_stash: bool = False):
+                   want_pack: bool = False, want_stash: bool = False,
+                   fourier_rot=None):
     """Transposed MLP: x (3, N), dirs (3, N)|None, lat (CL, N)|None ->
     (out (C_out, N), dvalue_dy|None, pack|None). ``pack`` holds the
     intermediates (pres, sinf, cosf) for the in-kernel position-gradient
     sweep (:func:`_mlp_position_grad_T`). ``want_stash`` instead returns
     (hs, dacts, sinf, cosf) -- post-activations + activation derivatives
     (computed with the SHARED range reduction, :func:`_act_value_deriv`)
-    for the activation-stash backward."""
+    for the activation-stash backward. ``fourier_rot=(seg, dx_step)``
+    (dx_step (3, tile) = per-ray normalized step delta) evaluates the
+    fourier trig by phase rotation (:func:`_fourier_sincos_rot`) --
+    only valid for lattice-aligned step-blocked sample layouts."""
     cd = compute_dtype
 
     def mm(a, b):
         return jnp.dot(a.astype(cd), b.astype(cd),
                        preferred_element_type=jnp.float32)
 
-    f = mm(fourier, x)                       # (F, N)
-    if dirs is not None and fdir is not None:
-        f += mm(fdir, dirs)
-    sinf, cosf = _fast_sincos(f.astype(jnp.float32))
+    if fourier_rot is not None:
+        seg_b, dxs = fourier_rot
+        tile_n = x.shape[1] // seg_b
+        f0 = mm(fourier, x[:, :tile_n])
+        if dirs is not None and fdir is not None:
+            f0 += mm(fdir, dirs[:, :tile_n])
+        df = mm(fourier, dxs)
+        sinf, cosf = _fourier_sincos_rot(
+            f0.astype(jnp.float32), df.astype(jnp.float32), seg_b)
+    else:
+        f = mm(fourier, x)                   # (F, N)
+        if dirs is not None and fdir is not None:
+            f += mm(fdir, dirs)
+        sinf, cosf = _fast_sincos(f.astype(jnp.float32))
     # single concatenated first-layer matmul: K-passes on the MXU are
     # quantized to 128, so 4-5 small-K block matmuls cost 4-5x one
     # K<=128 matmul (measured ~20 ms/frame at the flagship); the concat

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 _ABLATE = frozenset()
 
 from .fused_dvr import (FusedWeights, _act_value_deriv, _fast_sin,
-                        _fast_sincos, _latent_features,
+                        _fast_sincos, _fourier_sincos_rot,
+                        _latent_features,
                         _weight_list as weights_list)
 
 
@@ -190,7 +191,7 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
                      has_latent, tf_points, blend_beer, seg, tile,
                      density_min, density_max, stepsize, early_alpha,
                      compute_dtype, has_direction,
-                     latent_boxfeat: bool):
+                     latent_boxfeat: bool, fourier_rot=None):
     """Layout-agnostic adjoint of one (ray-tile, segment): forward MLP
     replay, TF replay, blending replay, reverse compositing chain, TF
     control-point gradients, and transposed-weight MLP adjoint with
@@ -243,10 +244,21 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
             off += hcount
         pres = None
     else:
-        fr = mm(fourier_ref[:], x)                 # (F, N)
-        if has_direction:
-            fr += mm(fdir_ref[:], dirs)
-        sinf, cosf = _fast_sincos(fr)
+        if fourier_rot is not None:
+            # lattice phase rotation: trig per RAY, not per sample
+            # (same scheme as the forward, fused_dvr._fourier_sincos_rot)
+            seg_b, dxs = fourier_rot
+            tile_n = x.shape[1] // seg_b
+            f0 = mm(fourier_ref[:], x[:, :tile_n])
+            if has_direction:
+                f0 += mm(fdir_ref[:], dirs[:, :tile_n])
+            df = mm(fourier_ref[:], dxs)
+            sinf, cosf = _fourier_sincos_rot(f0, df, seg_b)
+        else:
+            fr = mm(fourier_ref[:], x)             # (F, N)
+            if has_direction:
+                fr += mm(fdir_ref[:], dirs)
+            sinf, cosf = _fast_sincos(fr)
         # concatenated first-layer matmul (see _mlp_forward_T: K-pass
         # quantization makes one K<=128 matmul 4-5x cheaper)
         in_blocks = [x]

@@ -200,6 +200,14 @@ def _build_samples(rays, k0, sf, *, seg, tile, stepsize, box_min,
     return kk, tval, x, dirs
 
 
+def _step_delta(rays, stepsize, box_size):
+    """Per-ray normalized lattice step (3, tile) -- the fourier phase
+    increment driver for :func:`fused_dvr._fourier_sincos_rot`."""
+    return jnp.concatenate(
+        [rays[3 + c:4 + c, :] * (float(stepsize) / float(box_size[c]))
+         for c in range(3)], axis=0)
+
+
 def _slab_parts(slab_ref, bases_ref, mspec: MegaSpec):
     """Dynamic-slice the certified sub-box window out of the resident
     slab and split it into per-x-block parts for the shared factorized
@@ -288,7 +296,8 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             [w[:] for w in hw], [b[:] for b in hb],
             wout_ref[:], bout_ref[:],
             activation=activation, act_param=act_param,
-            output_mode=output_mode, compute_dtype=compute_dtype)
+            output_mode=output_mode, compute_dtype=compute_dtype,
+            fourier_rot=(seg, _step_delta(rays, stepsize, box_size)))
         v2 = value.reshape(seg, tile)
         rgba, absorption, density2 = _piecewise_tf(
             v2, tf_ref, tf_points=tf_points, density_min=density_min,
@@ -417,7 +426,8 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             density_min=density_min, density_max=density_max,
             stepsize=stepsize, early_alpha=2.0,
             compute_dtype=compute_dtype, has_direction=has_direction,
-            latent_boxfeat=True)
+            latent_boxfeat=True,
+            fourier_rot=(seg, _step_delta(rays, stepsize, box_size)))
         dcarry_s[:] = dcarry_rows
         if has_latent:
             # factorized trilerp transpose per x-block, assembled into
