@@ -329,7 +329,7 @@ class BoxfeatSpec(NamedTuple):
 
 def certify_boxfeat(ray_start, ray_dir, grid_sizes, box_min, box_size, *,
                     stepsize: float, max_steps: int, seg: int, tile: int,
-                    margin: int = 2) -> BoxfeatSpec:
+                    margin: int = 2, tmax_clip=None) -> BoxfeatSpec:
     """Certify the boxfeat latent path for a concrete ray set.
 
     Measures the per-(ray-tile, segment) latent-grid cell footprint under
@@ -360,6 +360,8 @@ def certify_boxfeat(ray_start, ray_dir, grid_sizes, box_min, box_size, *,
     t1 = (bmin + bsize - rs) * inv
     tmin = np.maximum(np.minimum(t0, t1).max(axis=1), 0.0).astype(np.float32)
     tmax = np.maximum(t0, t1).min(axis=1).astype(np.float32)
+    if tmax_clip is not None:
+        tmax = np.minimum(tmax, np.asarray(tmax_clip, np.float32))
     k0 = np.ceil(tmin / h)
     k0t = k0.reshape(n_tiles, tile).min(axis=1)
     k1 = np.floor(tmax / h)
@@ -400,12 +402,90 @@ class RayBucketPlan(NamedTuple):
     group_steps: tuple        # max_steps per group
     group_specs: tuple        # BoxfeatSpec per group (or 0s)
     dead: int                 # leading rays whose tiles never hit the box
+    tmax_clip: Optional[np.ndarray] = None  # (R,) permuted per-ray t clamp
+
+
+def probe_saturation_tmax(ray_start, ray_dir, volume, tf, *,
+                          stepsize: float, max_steps: int,
+                          coarse: int = 8,
+                          alpha_threshold: float = 0.999,
+                          margin_steps: int = 16,
+                          density_min: float = 0.0,
+                          density_max: float = 1.0,
+                          blend_beer: bool = True) -> np.ndarray:
+    """Per-ray saturation-clamped tmax via a coarse (``coarse``x the
+    stepsize) alpha-only march of the SAME volume+TF.
+
+    The march-count planner analog of the reference's in-kernel
+    early-out (renderer_ray_evaluation_stepping_dvr.cuh:93-99, alpha >=
+    0.999 warp vote): on trained scenes rays saturate after a fraction
+    of their geometric span, and a fixed-trip-count TPU march pays the
+    full span anyway. This camera-static pre-pass estimates each ray's
+    saturation depth at ``coarse * stepsize`` resolution and returns
+    ``min(tmax, t_sat + margin_steps * stepsize)`` to feed
+    :func:`plan_ray_buckets` (which then shrinks bucket segment counts)
+    and the traces' ``tmax_clip``. Rays that never saturate keep their
+    geometric tmax. The clamp changes the rendered function exactly the
+    way the reference's own early-out does (truncation at alpha ~ 1);
+    ``margin_steps`` absorbs the coarse-vs-fine discretization gap.
+
+    Cost: max_steps/coarse plain-path samples per ray, once per camera
+    (amortized like the bucket plan itself). Returns np (R,) f32.
+    """
+    h = float(stepsize)
+    hc = h * coarse
+    n_steps = max(1, -(-int(max_steps) // coarse))
+
+    @jax.jit
+    def run(rs, rd):
+        dtype = rs.dtype
+        tmin, tmax = intersect_aabb(rs, rd, volume.box_min.astype(dtype),
+                                    volume.box_size.astype(dtype))
+        tmin = jnp.maximum(tmin, 0.0)
+        k0 = jnp.ceil(tmin / hc)
+        lead = rs.shape[:-1]
+        alpha0 = jnp.zeros(lead + (1,), dtype)
+        tsat0 = jnp.full(lead + (1,), np.inf, dtype)
+        prev0 = jnp.full(lead + (1,), -1.0, dtype)
+
+        def step(carry, i):
+            alpha, tsat, prev = carry
+            t = (k0 + i.astype(dtype)) * hc
+            validm = t <= tmax
+            pos = rs + rd * t
+            value, _ = volume.eval_density(pos, rd)
+            value = value[..., None]
+            d2 = (value - density_min) / (density_max - density_min)
+            require = validm & (value >= density_min)
+            rgba = tf.eval_normalized(
+                jnp.clip(d2[..., 0], 0.0, 1.0), jnp.zeros_like(pos),
+                prev[..., 0], hc)
+            absn = jnp.where(require, rgba[..., 3:4], 0.0)
+            if blend_beer:
+                ca = 1.0 - jnp.exp(-absn)
+            else:
+                ca = jnp.minimum(1.0, absn)
+            alpha = alpha + (1.0 - alpha) * ca
+            tsat = jnp.where((alpha >= alpha_threshold)
+                             & ~jnp.isfinite(tsat), t, tsat)
+            return (alpha, tsat, d2), None
+
+        (alpha, tsat, _), _ = jax.lax.scan(
+            step, (alpha0, tsat0, prev0),
+            jnp.arange(n_steps, dtype=jnp.int32))
+        clip = jnp.where(jnp.isfinite(tsat), tsat + margin_steps * h,
+                         tmax)
+        return jnp.minimum(tmax, clip)[..., 0]
+
+    return np.asarray(run(jnp.asarray(ray_start, jnp.float32),
+                          jnp.asarray(ray_dir, jnp.float32)),
+                      np.float32)
 
 
 def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
                      stepsize: float, seg: int, tile: int,
                      n_buckets: int = 4, grid_sizes=None,
-                     quantize: int = 0) -> RayBucketPlan:
+                     quantize: int = 0, tmax_clip=None) -> RayBucketPlan:
     """Bucket ray tiles by march length so short tiles stop marching
     early.
 
@@ -423,6 +503,13 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
     The reference has no analog (its while-march early-outs per warp);
     this is the TPU counterpart for fixed-trip-count programs. Requires
     concrete rays. Use with :func:`fused_trace_dvr_bucketed`.
+
+    ``tmax_clip`` (np (R,), input ray order, from
+    :func:`probe_saturation_tmax`) clamps each ray's march at its
+    estimated saturation depth: spans, bucket segment counts, and the
+    certified footprints all shrink to the TRAINED-scene march length,
+    and the clip rides the plan into the traces (the megakernel masks
+    per-ray samples past the clip exactly like past tmax).
 
     ``quantize`` > 0 makes the plan SHAPE camera-stable for jit reuse
     across cameras (e.g. ``time_rendering``): group sizes become fixed
@@ -443,6 +530,8 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
     t1 = (bmin + bsize - rs) * inv_d
     tmin = np.maximum(np.minimum(t0, t1).max(axis=1), 0.0)
     tmax = np.maximum(t0, t1).min(axis=1)
+    if tmax_clip is not None:
+        tmax = np.minimum(tmax, np.asarray(tmax_clip, np.float32))
     k0 = np.ceil(tmin / h)
     k1 = np.floor(tmax / h)
     alive = (tmax > tmin) & (k1 >= k0)
@@ -458,6 +547,8 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
     n_dead = 0 if quantize else int(np.sum(spans_sorted <= 0))
     live = n_tiles - n_dead
     sizes, steps, specs = [], [], []
+    clip_p = (np.asarray(tmax_clip, np.float32)[perm]
+              if tmax_clip is not None else None)
     if live > 0:
         edges = np.linspace(n_dead, n_tiles, n_buckets + 1).astype(int)
         rs_p = rs[perm]
@@ -475,7 +566,9 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
                 sp = certify_boxfeat(
                     rs_p[a * tile:b * tile], rd_p[a * tile:b * tile],
                     grid_sizes, bmin, bsize, stepsize=stepsize,
-                    max_steps=g_steps, seg=seg, tile=tile)
+                    max_steps=g_steps, seg=seg, tile=tile,
+                    tmax_clip=(clip_p[a * tile:b * tile]
+                               if clip_p is not None else None))
                 if quantize:
                     # stabilize the static spec across cameras: round
                     # footprint corners up to even, segment count to
@@ -491,7 +584,7 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
             else:
                 specs.append(0)
     return RayBucketPlan(perm=perm, inv=inv_p, group_sizes=tuple(sizes),
-                         group_steps=tuple(steps),
+                         group_steps=tuple(steps), tmax_clip=clip_p,
                          group_specs=tuple(specs), dead=n_dead * tile)
 
 
@@ -564,15 +657,17 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
         kwargs.pop("segment_remat", None)
         kwargs.pop("stash_backward", None)
 
-        def trace(rs_, rd_, steps_, spec_):
+        def trace(rs_, rd_, steps_, spec_, clip_):
             return mega_trace_dvr(rs_, rd_, net, box_min, box_size,
                                   tf_tensor, max_steps=steps_,
-                                  subbox=spec_, **kwargs)
+                                  subbox=spec_, tmax_clip=clip_,
+                                  **kwargs)
     else:
-        def trace(rs_, rd_, steps_, spec_):
+        def trace(rs_, rd_, steps_, spec_, clip_):
             return fused_trace_dvr(rs_, rd_, net, box_min, box_size,
                                    tf_tensor, max_steps=steps_,
-                                   subbox=spec_, **kwargs)
+                                   subbox=spec_, tmax_clip=clip_,
+                                   **kwargs)
     perm = jnp.asarray(plan.perm)
     inv = jnp.asarray(plan.inv)
     rs = jnp.take(ray_start, perm, axis=0)
@@ -581,10 +676,12 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
     ofs = plan.dead
     for size, g_steps, spec in zip(plan.group_sizes, plan.group_steps,
                                    plan.group_specs):
+        clip_g = (jnp.asarray(plan.tmax_clip[ofs:ofs + size])
+                  if plan.tmax_clip is not None else None)
         outs.append(trace(
             jax.lax.dynamic_slice_in_dim(rs, ofs, size),
             jax.lax.dynamic_slice_in_dim(rd, ofs, size),
-            g_steps, spec))
+            g_steps, spec, clip_g))
         ofs += size
     if plan.dead:
         dead_out = jax.tree.map(
@@ -1687,6 +1784,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                     iso_value=None,
                     tf_mode: str = "piecewise",
                     tf_pre: Optional[Array] = None,
+                    tmax_clip: Optional[Array] = None,
                     interpret: bool = False):
     """Fused DVR through an SRN. Returns rgba (R, 4), or a
     ``RayEvaluationOutput`` (color, blended normal, depth) when
@@ -1765,6 +1863,11 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     box_size = jnp.asarray(np.asarray(box_size), dtype)
     tmin, tmax = intersect_aabb(ray_start, ray_dir, box_min, box_size)
     tmin = jnp.maximum(tmin, 0.0)
+    if tmax_clip is not None:
+        # saturation-clamped march (probe_saturation_tmax): the
+        # reference's early-out truncation, decided at plan time
+        tmax = jnp.minimum(tmax, jnp.asarray(tmax_clip, dtype)
+                           .reshape(tmax.shape))
 
     weights = extract_weights(net, jnp.float32)
     has_latent = weights.w1_lat is not None

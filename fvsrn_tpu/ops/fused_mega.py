@@ -500,6 +500,7 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                    table_dtype=jnp.float32,
                    subbox=0,
                    time=0.0, ensemble=0.0,
+                   tmax_clip: Optional[Array] = None,
                    interpret: bool = False) -> Array:
     """Fused DVR through an SRN as ONE pallas_call (see module doc).
 
@@ -531,6 +532,11 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
     box_size_a = jnp.asarray(np.asarray(box_size), dtype)
     tmin, tmax = intersect_aabb(ray_start, ray_dir, box_min_a, box_size_a)
     tmin = jnp.maximum(tmin, 0.0)
+    if tmax_clip is not None:
+        # saturation-clamped march (probe_saturation_tmax): exactly the
+        # reference's early-out truncation, decided at plan time
+        tmax = jnp.minimum(tmax, jnp.asarray(tmax_clip, dtype)
+                           .reshape(tmax.shape))
     k0_ray = jnp.ceil(tmin / stepsize)
 
     weights = extract_weights(net, jnp.float32)
@@ -559,7 +565,9 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
             bf_spec = certify_boxfeat(
                 ray_start, ray_dir, grid_sizes, box_min, box_size,
                 stepsize=stepsize, max_steps=max_steps, seg=seg,
-                tile=tile)
+                tile=tile,
+                tmax_clip=(np.asarray(tmax_clip)
+                           if tmax_clip is not None else None))
         mspec = _mega_spec(bf_spec)
         nxb_tot = (gw + 2 + 7) // 8
         by8max = max(0, ((gh + 2 - mspec.szyc) // 8) * 8)

@@ -1274,3 +1274,88 @@ def test_mega_time_keyframed_grid():
     # the bracketing keyframes actually received gradient
     gk = np.abs(np.asarray(g_f.latent.time_grid)).sum(axis=(1, 2, 3, 4))
     assert int((gk > 0).sum()) == 2  # exactly the bracketing keyframes
+
+
+# ---------------------------------------------------------------------------
+# Saturation-clamped march (probe_saturation_tmax + tmax_clip): the
+# planner-level counterpart of the reference's in-kernel early-out
+# (renderer_ray_evaluation_stepping_dvr.cuh:93-99).
+# ---------------------------------------------------------------------------
+
+def test_mega_tmax_clip_matches_plain_tmax_in():
+    """A per-ray tmax clamp through the megakernel == the plain oracle
+    with the same tmax_in (both forward and gradients)."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    rng = np.random.default_rng(3)
+    clip = jnp.asarray(0.9 + 0.8 * rng.random(rs.shape[0]), jnp.float32)
+
+    def loss_mega(net, tft):
+        c = mega_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
+            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            enable_early_out=False, differentiable=True,
+            tmax_clip=clip, interpret=True)
+        return jnp.mean(c ** 2)
+
+    def loss_plain(net, tft):
+        out = _plain_lattice(
+            net, TransferFunctionPiecewiseLinear(tensor=tft),
+            rs, rd, stepsize, steps, False,
+            tmax_in=clip[:, None]).color
+        return jnp.mean(out ** 2)
+
+    np.testing.assert_allclose(float(loss_mega(net, tf.tensor)),
+                               float(loss_plain(net, tf.tensor)),
+                               rtol=1e-5)
+    g_f = jax.grad(loss_mega, argnums=(0, 1))(net, tf.tensor)
+    g_p = jax.grad(loss_plain, argnums=(0, 1))(net, tf.tensor)
+    np.testing.assert_allclose(
+        np.asarray(g_f[0].latent.static_grid),
+        np.asarray(g_p[0].latent.static_grid), atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f[1][:, :4]),
+                               np.asarray(g_p[1][:, :4]),
+                               atol=2e-5, rtol=1e-3)
+
+
+def test_probe_saturation_planned_truncation():
+    """probe_saturation_tmax + plan_ray_buckets(tmax_clip=...) shrinks
+    the planned march on a saturating scene and stays within the
+    early-out tolerance of the untruncated render."""
+    from fvsrn_tpu.ops.fused_dvr import (fused_trace_dvr_bucketed,
+                                         plan_ray_buckets,
+                                         probe_saturation_tmax)
+    net, _, rs, rd = _scene(True)
+    # opaque TF so rays saturate mid-march
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.9, 0.1, 0.1], [0.1, 0.1, 0.9]],
+        opacity=[60.0, 120.0], positions=[0.0, 1.0])
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    vol = VolumeInterpolationNetwork.make(net)
+    clip = probe_saturation_tmax(
+        rs, rd, vol, tf, stepsize=stepsize, max_steps=steps,
+        coarse=4, margin_steps=8)
+    assert clip.shape == (rs.shape[0],)
+    rs_np, rd_np = np.asarray(rs), np.asarray(rd)
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    plan0 = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=stepsize,
+                             seg=16, tile=64, n_buckets=2,
+                             grid_sizes=(8, 8, 8))
+    plan1 = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=stepsize,
+                             seg=16, tile=64, n_buckets=2,
+                             grid_sizes=(8, 8, 8), tmax_clip=clip)
+    # the trained-scene lever: the planned march shrinks
+    assert max(plan1.group_steps) < max(plan0.group_steps)
+    ref = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                    False).color)
+    got = np.asarray(fused_trace_dvr_bucketed(
+        rs, rd, net, bm, bs, tf.tensor, plan=plan1, engine="mega",
+        stepsize=stepsize, seg=16, tile=64, enable_early_out=False,
+        interpret=True))
+    # truncation at alpha >= 0.999 (+margin): same tolerance class as
+    # the reference's early-out
+    np.testing.assert_allclose(got, ref, atol=3e-3)
+    assert ref[:, 3].max() > 0.9
