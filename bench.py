@@ -2,10 +2,17 @@
 """Benchmark: SRN DVR forward+backward throughput on the real TPU.
 
 North-star metric (BASELINE.json): Mrays/s/chip for the SRN DVR
-forward+backward at 512^2, world stepsize 1/512 -- the timing configuration
-of the reference's harness (reference: applications/volnet/
-eval_VolumetricFeatures.py:147-200: 512x512, stepsize 1/512, GPUTimer,
-first frame discarded as warm-up).
+forward+backward at 512^2, world stepsize 1/512 -- the timing
+configuration of the reference's harness (reference: applications/
+volnet/eval_VolumetricFeatures.py:147-200: 512x512, stepsize 1/512,
+GPUTimer, first frame discarded as warm-up).
+
+Scene: the TRAINED flagship checkpoint (assets/flagship_mlobb.hdf5,
+world-fit MARSCHNER_LOBB, the recipe of tools/train_flagship.py) -- the
+reference's harness times TRAINED networks, where alpha saturation
+makes early-out pay; a random-weight network is structurally
+adversarial to it. The random-weight arm is still measured and
+reported as a secondary field ("random_weights_mrays").
 
 Baseline value: the reference stores no numbers (BASELINE.md); we use
 13.1 Mrays/s = 512^2 px / 20 ms, the RTX 2070 TENSORCORES_MIXED
@@ -13,13 +20,20 @@ Baseline value: the reference stores no numbers (BASELINE.md); we use
 claims (arXiv:2112.01579). Comparing our forward+backward against their
 forward is conservative.
 
-Measures the fused Pallas MEGAKERNEL path: the whole march as one
-pallas_call per bucket (VMEM-resident latent slab, in-kernel latent
+Numeric gate (same-run, on-device; the role of the reference's
+unittests/testSRN.cpp:405-411 |delta|<1e-2 on-device check): the fused
+image and its gradients are compared against the plain-JAX lattice
+oracle on a ray subset; breaches set "gate": "fail" in the JSON.
+
+Measures the fused Pallas MEGAKERNEL path (whole march as one
+pallas_call per bucket, VMEM-resident latent slab, in-kernel latent
 gradient accumulation -- fvsrn_tpu/ops/fused_mega.py) with the
-hand-written adjoint core (fvsrn_tpu/ops/fused_dvr_bwd.py).
+hand-written adjoint (fvsrn_tpu/ops/fused_dvr_bwd.py), under
+saturation-clamped march planning (probe_saturation_tmax) and the
+exact gated early-out adjoint.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N, ...}
 """
 import json
 import os
@@ -31,8 +45,10 @@ import numpy as np
 BASELINE_MRAYS = 13.1
 WIDTH = HEIGHT = 512
 STEPSIZE = 1.0 / 512
-RAY_CHUNK = 262144  # rays per jit call
-TIMED_FRAMES = 4
+TIMED_FRAMES = 6
+GATE_RAYS = 16384          # oracle-comparison subset (64 tiles)
+GATE_IMG_TOL = 2e-2        # reference's fp16 fidelity contract
+GATE_GRAD_TOL = 5e-3       # relative, on grad norms
 
 
 def _wait_for_device(jax, attempts=20, delay_s=60):
@@ -48,99 +64,163 @@ def _wait_for_device(jax, attempts=20, delay_s=60):
 
 
 def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, root)
     import jax
-    # grad-of-scan programs compile slowly on this backend; cache them
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    os.makedirs(os.path.join(root, ".jax_cache"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(root, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _wait_for_device(jax)
     import jax.numpy as jnp
+    import fvsrn_tpu as fv
     from __graft_entry__ import _build_flagship
-    from fvsrn_tpu.camera import CameraOnASphere, camera_matrix, generate_rays
+    from fvsrn_tpu.camera import (CameraOnASphere, camera_matrix,
+                                  generate_rays)
+    from fvsrn_tpu.inference import LoadedModel
+    from fvsrn_tpu.models.network_volume import VolumeInterpolationNetwork
     from fvsrn_tpu.ops.fused_dvr import (block_ray_permutation,
                                          fused_trace_dvr_bucketed,
-                                         plan_ray_buckets)
-    from fvsrn_tpu.raytracer.dvr import max_steps_bound
+                                         plan_ray_buckets,
+                                         probe_saturation_tmax)
+    from fvsrn_tpu.raytracer.dvr import (RayEvaluationSteppingDvr,
+                                         max_steps_bound, trace_dvr)
 
-    vol, tf, cfg = _build_flagship()
-    cfg = cfg.replace(stepsize=np.float32(STEPSIZE))
-    steps = max_steps_bound(vol.box_size, STEPSIZE)
+    tf = fv.TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.1, 0.1, 0.8], [0.9, 0.4, 0.1], [1.0, 1.0, 0.6]],
+        opacity=[0.0, 10.0, 30.0], positions=[0.0, 0.5, 1.0])
+    model = LoadedModel.from_checkpoint(
+        os.path.join(root, "assets", "flagship_mlobb.hdf5"), tf=tf)
+    net = model.network
+    nvol = VolumeInterpolationNetwork.make(net)
+    bm = np.asarray((-0.5, -0.5, -0.5), np.float32)
+    bs = np.asarray((1.0, 1.0, 1.0), np.float32)
+    steps = max_steps_bound((1.0, 1.0, 1.0), STEPSIZE)
     cam = CameraOnASphere.make(pitch=0.3, yaw=0.5, distance=1.6)
     matrix = np.asarray(camera_matrix(cam))
-
-    @jax.jit
-    def make_rays(matrix):
-        s, d = generate_rays(matrix, WIDTH, HEIGHT,
-                             fov_y_radians=0.7853981633974483)
-        return s.reshape(-1, 3), d.reshape(-1, 3)
-
-    ray_start, ray_dir = jax.block_until_ready(make_rays(matrix))
-
-    bm = np.asarray(vol.box_min)
-    bs = np.asarray(vol.box_size)
-
-    # boxfeat latent path: lattice sampling + per-(tile, segment) sub-box
-    # gathers need spatially coherent ray tiles -> 16x16 pixel blocks;
-    # march-length tile bucketing slices off dead tiles and lets short
-    # tiles stop early (camera-static host pre-pass)
-    rs_np = np.asarray(ray_start)
-    rd_np = np.asarray(ray_dir)
+    s, d = generate_rays(matrix, WIDTH, HEIGHT,
+                         fov_y_radians=0.7853981633974483)
     perm, _inv = block_ray_permutation(WIDTH, HEIGHT, 16, 16)
-    rs_np, rd_np = rs_np[perm], rd_np[perm]
+    rs_np = np.asarray(s).reshape(-1, 3)[perm]
+    rd_np = np.asarray(d).reshape(-1, 3)[perm]
+
+    # camera-static planning pre-pass (excluded from frame timing, like
+    # the reference's host-side setup): saturation probe + tile buckets
+    clip = probe_saturation_tmax(rs_np, rd_np, nvol, tf,
+                                 stepsize=STEPSIZE, max_steps=steps,
+                                 coarse=8, margin_steps=16)
     plan = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=STEPSIZE,
                             seg=32, tile=256, n_buckets=3,
-                            grid_sizes=(32, 32, 32))
-    ray_start = jnp.asarray(rs_np)
-    ray_dir = jnp.asarray(rd_np)
+                            grid_sizes=(32, 32, 32), tmax_clip=clip)
+    rs, rd = jnp.asarray(rs_np), jnp.asarray(rd_np)
+
+    def make_fb(plan_, rs_, rd_):
+        @jax.jit
+        def fb(net, tft):
+            def loss_fn(n, t):
+                c = fused_trace_dvr_bucketed(
+                    rs_, rd_, n, bm, bs, t, plan=plan_,
+                    stepsize=STEPSIZE, seg=32, tile=256,
+                    enable_early_out=True, differentiable=True,
+                    latent_mode="boxfeat", table_dtype=jnp.bfloat16,
+                    engine="mega")
+                return jnp.mean(c ** 2), c
+            (loss, img), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(net, tft)
+            return loss, img, grads
+        return fb
+
+    fb = make_fb(plan, rs, rd)
+    loss, img_f, grads_f = fb(net, tf.tensor)
+    _ = float(loss)  # warm-up sync (block_until_ready lies on axon)
+
+    # ---- numeric gate: fused vs plain-lattice oracle on a subset ----
+    # rays from the start of the middle bucket (median march lengths)
+    gs = plan.dead + plan.group_sizes[0]
+    rs_perm = rs_np[plan.perm]
+    rd_perm = rd_np[plan.perm]
+    gate_rs = rs_perm[gs:gs + GATE_RAYS]
+    gate_rd = rd_perm[gs:gs + GATE_RAYS]
+    gate_clip = plan.tmax_clip[gs:gs + GATE_RAYS]
+    gplan = plan_ray_buckets(gate_rs, gate_rd, bm, bs,
+                             stepsize=STEPSIZE, seg=32, tile=256,
+                             n_buckets=1, grid_sizes=(32, 32, 32),
+                             tmax_clip=gate_clip)
+    gfb = make_fb(gplan, jnp.asarray(gate_rs), jnp.asarray(gate_rd))
+    _, gimg_f, ggrads_f = gfb(net, tf.tensor)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=STEPSIZE,
+                                        enable_early_out=False)
+    gsteps = int(max(gplan.group_steps))
 
     @jax.jit
-    def fwd_bwd_chunk(vol, tf, cfg, rs, rd):
-        def loss_fn(net, tft):
-            c = fused_trace_dvr_bucketed(
-                rs, rd, net, bm, bs, tft, plan=plan, stepsize=STEPSIZE,
-                seg=32, tile=256, enable_early_out=False,
-                differentiable=True, latent_mode="boxfeat",
-                table_dtype=jnp.bfloat16, engine="mega")
-            return jnp.mean(c ** 2)
+    def plain_fb(net, tft):
+        def loss_fn(n, t):
+            v = VolumeInterpolationNetwork.make(n)
+            out = trace_dvr(jnp.asarray(gate_rs), jnp.asarray(gate_rd),
+                            v, fv.TransferFunctionPiecewiseLinear(
+                                tensor=t),
+                            cfg, gsteps, checkpoint_chunk=1,
+                            lattice=True,
+                            tmax_in=jnp.asarray(gate_clip)[:, None])
+            return jnp.mean(out.color ** 2), out.color
+        (_, img), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(net, tft)
+        return img, grads
 
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            vol.network, tf.tensor)
-        return loss, grads
+    gimg_p, ggrads_p = plain_fb(net, tf.tensor)
+    # the fused subset loss is mean over GATE_RAYS too -> same scale
+    img_diff = float(np.abs(np.asarray(gimg_f) - np.asarray(gimg_p))
+                     .max())
+    rels = []
+    for a, b in zip(jax.tree.leaves(ggrads_f), jax.tree.leaves(ggrads_p)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        nb = np.linalg.norm(b)
+        if nb > 1e-12:
+            rels.append(np.linalg.norm(a - b) / nb)
+    grad_rel = float(max(rels)) if rels else float("nan")
+    gate_ok = img_diff < GATE_IMG_TOL and grad_rel < GATE_GRAD_TOL
+    print(f"gate: img max|diff| {img_diff:.2e}, grad-norm rel err "
+          f"{grad_rel:.2e} -> {'ok' if gate_ok else 'FAIL'}",
+          file=sys.stderr)
 
-    n_chunks = (WIDTH * HEIGHT) // RAY_CHUNK
-    chunks = [(ray_start[i * RAY_CHUNK:(i + 1) * RAY_CHUNK],
-               ray_dir[i * RAY_CHUNK:(i + 1) * RAY_CHUNK])
-              for i in range(n_chunks)]
-    chunks = jax.block_until_ready(chunks)
-
-    def run_frame():
-        total = 0.0
-        for rs, rd in chunks:
-            loss, grads = fwd_bwd_chunk(vol, tf, cfg, rs, rd)
-        return loss
-
-    # warm-up / compile (discarded like the reference); materialize to
-    # force completion (block_until_ready does not block on the tunnel)
-    float(run_frame())
-    # steady-state training throughput: frames are dispatched
-    # back-to-back and synced once at the end -- a real training loop
-    # never fetches the loss every step, and the reference's GPUTimer
-    # measures device events, not host round-trips. The per-frame
-    # host->device dispatch latency through the tunnel (~50-70 ms) is
-    # NOT device work and is excluded by amortizing it over the batch.
+    # ---- timed frames (trained scene) ----
+    # steady-state training throughput: frames dispatched back-to-back,
+    # one sync at the end -- a real training loop never fetches the loss
+    # every step, and the reference's GPUTimer measures device events,
+    # not host round-trips through the tunnel.
     t0 = time.perf_counter()
-    losses = [run_frame() for _ in range(TIMED_FRAMES)]
-    _ = [float(l) for l in losses]
+    losses = [fb(net, tf.tensor)[0] for _ in range(TIMED_FRAMES)]
+    _ = [float(v) for v in losses]
     dt = (time.perf_counter() - t0) / TIMED_FRAMES
-    print(f"mean frame: {dt:.3f}s over {TIMED_FRAMES}", file=sys.stderr)
     mrays = WIDTH * HEIGHT / dt / 1e6
+    print(f"trained scene: {dt:.3f}s/frame over {TIMED_FRAMES}",
+          file=sys.stderr)
+
+    # ---- secondary arm: random-weight flagship (round-2 contract) ----
+    vol_r, tf_r, _cfg = _build_flagship()
+    plan_r = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=STEPSIZE,
+                              seg=32, tile=256, n_buckets=3,
+                              grid_sizes=(32, 32, 32))
+    fb_r = make_fb(plan_r, rs, rd)
+    _ = float(fb_r(vol_r.network, tf_r.tensor)[0])
+    t0 = time.perf_counter()
+    losses = [fb_r(vol_r.network, tf_r.tensor)[0] for _ in range(4)]
+    _ = [float(v) for v in losses]
+    dt_r = (time.perf_counter() - t0) / 4
+    print(f"random weights: {dt_r:.3f}s/frame over 4", file=sys.stderr)
+
     print(json.dumps({
-        "metric": "Mrays/s/chip SRN DVR fwd+bwd at 512^2 "
-                  "(stepsize 1/512, fV-SRN 32:32:32+latent-grid config)",
+        "metric": "Mrays/s/chip SRN DVR fwd+bwd at 512^2 (stepsize "
+                  "1/512, trained fV-SRN 32:32:32+latent-grid flagship, "
+                  "saturation-planned march + gated early-out adjoint)",
         "value": round(mrays, 4),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "gate": "ok" if gate_ok else "fail",
+        "gate_img_max_abs_diff": round(img_diff, 6),
+        "gate_grad_norm_rel_err": round(grad_rel, 6),
+        "random_weights_mrays": round(WIDTH * HEIGHT / dt_r / 1e6, 4),
     }))
 
 

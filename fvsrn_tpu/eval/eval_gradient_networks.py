@@ -96,9 +96,14 @@ def main(argv=None):
     rd = jnp.reshape(rd, (-1, 3))
     on_tpu = jax.devices()[0].platform == "tpu"
 
+    # shaded DVR through the MEGAKERNEL engine (whole march = one
+    # pallas_call, in-kernel adjoint normals + Lambert shading via the
+    # shared _march_epilogue); oracle = plain lattice-mode trace
+    from ..ops.fused_mega import mega_trace_dvr
+
     @jax.jit
     def render_fused(net, tft):
-        return fused_trace_dvr(
+        return mega_trace_dvr(
             rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
             stepsize=1 / 128, max_steps=steps, seg=16, tile=128,
             enable_early_out=False, need_normals=True, brdf=brdf,
@@ -110,14 +115,15 @@ def main(argv=None):
     fused_ms = (time.perf_counter() - t0) * 1e3
     nv = VolumeInterpolationNetwork.make(net)
     plain_img = np.asarray(trace_dvr(rs, rd, nv, tf, cfg, steps,
-                                     brdf=brdf).color)
+                                     brdf=brdf, lattice=True).color)
     a = jnp.moveaxis(jnp.asarray(fused_img).reshape(1, 128, 128, 4),
                      -1, 1)
     b = jnp.moveaxis(jnp.asarray(plain_img).reshape(1, 128, 128, 4),
                      -1, 1)
     s = float(ssim(a, b))
-    print(f"[shaded DVR] fused in-kernel-adjoint render: {fused_ms:.1f} "
-          f"ms at 128^2, SSIM vs plain {s:.4f}", flush=True)
+    print(f"[shaded DVR] megakernel in-kernel-adjoint render: "
+          f"{fused_ms:.1f} ms at 128^2, SSIM vs plain {s:.4f}",
+          flush=True)
     return 0
 
 

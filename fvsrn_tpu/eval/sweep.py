@@ -58,13 +58,38 @@ def _score_world(network, scene: str, *, samples: int, seed: int) -> dict:
     }
 
 
+def _render_ms(network, scene: str, *, width: int = 128) -> float:
+    """One warm screen render of the trained net through the product
+    inference fast path (megakernel engine for both density and rgbo
+    nets; reference: the eval scripts' screenshot renders)."""
+    import numpy as np
+
+    from ..inference import LoadedModel
+    from ..train.main import _resolve_scene
+
+    import jax
+    _, tf, cfg = _resolve_scene(scene)
+    model = LoadedModel(network, tf, config=cfg)
+    cam = model.rotation_cameras(1)[0]
+    render = model.prepare_network_render(
+        cam, width, width, "FUSED",
+        jax.devices()[0].platform != "tpu")
+    np.asarray(render())                      # compile + warm
+    t0 = time.time()
+    np.asarray(render())
+    return (time.time() - t0) * 1e3
+
+
 def run_sweep(configs: Sequence[tuple], *, base: Optional[dict] = None,
               scene: str = "IMPLICIT:MARSCHNER_LOBB",
               out_dir: Optional[str] = None,
               out_csv: Optional[str] = None,
-              eval_samples: int = 16384) -> list:
+              eval_samples: int = 16384,
+              render: bool = False) -> list:
     """Train and score every (name, overrides) entry. Returns the rows
-    (list of dicts), prints a table, optionally writes CSV."""
+    (list of dicts), prints a table, optionally writes CSV.
+    ``render=True`` additionally times one fused screen render of each
+    trained net (the megakernel product path)."""
     from ..train.main import run
 
     if out_dir is None:
@@ -84,6 +109,9 @@ def run_sweep(configs: Sequence[tuple], *, base: Optional[dict] = None,
         row.update(_score_world(res["network"], opt["scene"],
                                 samples=eval_samples,
                                 seed=opt["seed"]))
+        if render:
+            row["render_ms"] = round(_render_ms(res["network"],
+                                                opt["scene"]), 1)
         rows.append(row)
         print(f"[sweep] {name}: loss {row['final_loss']:.5f} "
               f"world_l2 {row['world_l2']:.5f} "
@@ -118,8 +146,12 @@ def sweep_main(configs_fn, description: str, argv=None):
     p.add_argument("--samples", type=int, default=64 * 64 * 4)
     p.add_argument("--csv", default=None)
     p.add_argument("--out-dir", default=None)
+    p.add_argument("--render", action="store_true",
+                   help="also time a fused (megakernel) screen render "
+                        "of each trained net")
     args = p.parse_args(argv)
     base = {"epochs": args.epochs, "samples": args.samples}
     run_sweep(configs_fn(args), base=base, scene=args.scene,
-              out_dir=args.out_dir, out_csv=args.csv)
+              out_dir=args.out_dir, out_csv=args.csv,
+              render=args.render)
     return 0

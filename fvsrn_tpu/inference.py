@@ -154,8 +154,9 @@ class LoadedModel:
             from .ops.fused_mega import mega_supported
             grid = resolve_grid(self.network.latent)
             # megakernel engine: whole march in one pallas_call; needs a
-            # VMEM-resident latent slab and the in-kernel piecewise TF
-            engine = ("mega" if "tf_mode" not in kw and grid is not None
+            # VMEM-resident latent slab (all TF modes run in-kernel via
+            # the shared _march_epilogue)
+            engine = ("mega" if grid is not None
                       and mega_supported(grid.shape, kw["table_dtype"])
                       else "scan")
             # fast path: boxfeat latent sampling + march-length tile

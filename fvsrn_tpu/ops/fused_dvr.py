@@ -33,11 +33,16 @@ Sample ordering: global sample axis is tile-major then step-major:
 column = i_tile*(seg*tile) + j*tile + ray, so each program reads one
 contiguous lane block and per-step compositing slices contiguous lanes.
 
-Supported configuration (v1): density-output SRNs (sigmoid or
-clamp/direct), piecewise-linear TF, alpha/Beer-Lambert blending, optional
-static latent grid, no direction input, no normals (shading-free DVR --
-the reference's fast path too). Everything else falls back to the plain
-JAX path in fvsrn_tpu.raytracer.dvr.
+Supported configuration (per-segment engine): density AND rgbo output
+modes; piecewise / texture / 1D-preintegrated / gaussian TFs evaluated
+in-kernel; alpha/Beer-Lambert blending; optional direction input;
+adjoint normals + Lambert/Phong shading (``need_normals``/``brdf``);
+static or time/ensemble-keyframed latent grids (pre-lerped per frame);
+isosurface first-crossing (``iso_value``); per-ray ``tmax_clip``.
+The differentiable backward covers density-output + piecewise TF
+(fused_dvr_bwd); other modes differentiate via the plain JAX path in
+fvsrn_tpu.raytracer.dvr. 2D-preintegrated TFs and 1D latent vectors are
+not fused.
 """
 from __future__ import annotations
 
@@ -54,6 +59,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.latent import grid_sample_3d, resolve_grid
 from ..models.srn import SceneRepresentationNetwork
 from ..utils.vecmath import intersect_aabb
+
+# perf-ablation seams (tools/ablate_mega_cost.py): names here gut the
+# matching kernel section for TIMING-ONLY builds (results are wrong):
+#   "l1mm"/"hidmm"   fake the first-layer / hidden matmuls
+#   "fourier"/"act"  fake the fourier trig / activation transcendentals
+#   "resolve"/"wzy"/"xfold"  fake the boxfeat trilerp stages
+_ABLATE = frozenset()
 
 
 class FusedWeights(NamedTuple):
@@ -595,6 +607,7 @@ def fused_trace_iso(ray_start: Array, ray_dir: Array, net,
                     latent_mode: str = "table",
                     table_dtype=jnp.float32, subbox=0,
                     time=0.0, ensemble=0.0,
+                    engine: str = "scan",
                     interpret: bool = False):
     """Fused isosurface rendering of an SRN: the fused Pallas march
     finds the first crossing (the iso epilogue in ``_segment_kernel``;
@@ -619,13 +632,23 @@ def fused_trace_iso(ray_start: Array, ray_dir: Array, net,
     dummy_tf = jnp.asarray(
         [[1.0, 1.0, 1.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0, 1.0]],
         jnp.float32)
-    raw = fused_trace_dvr(
-        ray_start, ray_dir, net, box_min, box_size, dummy_tf,
-        stepsize=stepsize, max_steps=max_steps, seg=seg, tile=tile,
-        enable_early_out=True, alpha_early_out=0.999,
-        latent_mode=latent_mode, table_dtype=table_dtype, subbox=subbox,
-        time=time, ensemble=ensemble,
-        iso_value=float(np.asarray(iso)), interpret=interpret)
+    if engine == "mega":
+        from .fused_mega import mega_trace_dvr
+        raw = mega_trace_dvr(
+            ray_start, ray_dir, net, box_min, box_size, dummy_tf,
+            stepsize=stepsize, max_steps=max_steps, seg=seg, tile=tile,
+            enable_early_out=True, alpha_early_out=0.999,
+            table_dtype=table_dtype, subbox=subbox,
+            time=time, ensemble=ensemble,
+            iso_value=float(np.asarray(iso)), interpret=interpret)
+    else:
+        raw = fused_trace_dvr(
+            ray_start, ray_dir, net, box_min, box_size, dummy_tf,
+            stepsize=stepsize, max_steps=max_steps, seg=seg, tile=tile,
+            enable_early_out=True, alpha_early_out=0.999,
+            latent_mode=latent_mode, table_dtype=table_dtype,
+            subbox=subbox, time=time, ensemble=ensemble,
+            iso_value=float(np.asarray(iso)), interpret=interpret)
     depth = raw[:, 0:1]
     found = raw[:, 3:4] > 0.5
     vol = VolumeInterpolationNetwork.make(
@@ -749,6 +772,8 @@ class BoxfeatAux(NamedTuple):
 
 
 def _apply_act(name: str, x: Array, p: float) -> Array:
+    if "act" in _ABLATE:                     # timing-only fake
+        return jnp.maximum(x, 0.0) + 0.1 * x
     if name not in ("ReLU", "None") and x.dtype == jnp.bfloat16:
         # Mosaic has no bf16 transcendentals; evaluate them in f32
         return _apply_act(name, x.astype(jnp.float32), p)
@@ -775,6 +800,8 @@ def _act_value_deriv(name: str, x: Array, p: float):
     extra polynomial evaluations instead of a full second transcendental
     in the backward (the reference's adjoint recomputes, tensorcores.cuh;
     we trade a small HBM stash for the recompute)."""
+    if "act" in _ABLATE:                     # timing-only fake
+        return jnp.maximum(x, 0.0) + 0.1 * x, jnp.clip(x, 0.1, 1.0)
     if name not in ("ReLU", "None") and x.dtype == jnp.bfloat16:
         return _act_value_deriv(name, x.astype(jnp.float32), p)
     if name == "ReLU":
@@ -895,7 +922,10 @@ def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
         return jnp.dot(a.astype(cd), b.astype(cd),
                        preferred_element_type=jnp.float32)
 
-    if fourier_rot is not None:
+    if "fourier" in _ABLATE:                 # timing-only fake
+        f = jnp.broadcast_to(x[0:1], (fourier.shape[0], x.shape[1]))
+        sinf, cosf = f * 0.5, 1.0 - f * 0.25
+    elif fourier_rot is not None:
         seg_b, dxs = fourier_rot
         tile_n = x.shape[1] // seg_b
         f0 = mm(fourier, x[:, :tile_n])
@@ -924,7 +954,11 @@ def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
         in_blocks.append(lat)
         w_blocks.append(w1lat)
     k_tot = sum(b.shape[0] for b in in_blocks)
-    if k_tot <= 128:
+    if "l1mm" in _ABLATE:                    # timing-only fake
+        # lane-broadcast of b1 (32,1): cheap, unlike a sublane broadcast
+        h = jnp.broadcast_to(b1.astype(jnp.float32),
+                             (b1.shape[0], x.shape[1])) * 1.0
+    elif k_tot <= 128:
         h = mm(jnp.concatenate(w_blocks, axis=1),
                jnp.concatenate([b.astype(cd) for b in in_blocks], axis=0))
     else:
@@ -949,7 +983,10 @@ def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
 
     h = act(h)
     for k in range(len(hw)):
-        pre = mm(hw[k], h) + hb[k].astype(jnp.float32)
+        if "hidmm" in _ABLATE:               # timing-only fake
+            pre = h * 1.01 + hb[k].astype(jnp.float32)
+        else:
+            pre = mm(hw[k], h) + hb[k].astype(jnp.float32)
         pres.append(pre)
         h = act(pre)
     if w_out.shape[0] == 1:
@@ -1201,16 +1238,21 @@ def _boxfeat_features_parts(x, parts, base_y, base_z, xb0, *,
     # per-axis one-hots plus szzc sublane-broadcast multiplies.
     # (MXU-expanded one-hots measured WORSE than either -- the VPU work
     # hides under the matmuls only until the VPU is the critical path.)
-    ioy = jax.lax.broadcasted_iota(jnp.int32, (szyc, n), 0).astype(f32)
-    wyv = jnp.where(ioy == ly, 1.0 - fy, 0.0) \
-        + jnp.where(ioy == ly + 1.0, fy, 0.0)          # (szyc, N)
-    ioz = jax.lax.broadcasted_iota(jnp.int32, (szzc, n), 0).astype(f32)
-    wzv = jnp.where(ioz == lz, 1.0 - fz, 0.0) \
-        + jnp.where(ioz == lz + 1.0, fz, 0.0)          # (szzc, N)
-    zy_pad = szycp - szzc * szyc      # sublane-alignment pad rows
-    wzy = jnp.concatenate(
-        [wzv[oz:oz + 1, :] * wyv for oz in range(szzc)]
-        + ([jnp.zeros((zy_pad, n), f32)] if zy_pad else []), axis=0)
+    if "wzy" in _ABLATE:                               # timing-only fake
+        wzy = jnp.broadcast_to(fy * fz, (szycp, n))
+    else:
+        ioy = jax.lax.broadcasted_iota(jnp.int32, (szyc, n), 0) \
+            .astype(f32)
+        wyv = jnp.where(ioy == ly, 1.0 - fy, 0.0) \
+            + jnp.where(ioy == ly + 1.0, fy, 0.0)      # (szyc, N)
+        ioz = jax.lax.broadcasted_iota(jnp.int32, (szzc, n), 0) \
+            .astype(f32)
+        wzv = jnp.where(ioz == lz, 1.0 - fz, 0.0) \
+            + jnp.where(ioz == lz + 1.0, fz, 0.0)      # (szzc, N)
+        zy_pad = szycp - szzc * szyc  # sublane-alignment pad rows
+        wzy = jnp.concatenate(
+            [wzv[oz:oz + 1, :] * wyv for oz in range(szzc)]
+            + ([jnp.zeros((zy_pad, n), f32)] if zy_pad else []), axis=0)
 
     lat_parts = []
     m1 = []
@@ -1218,14 +1260,21 @@ def _boxfeat_features_parts(x, parts, base_y, base_z, xb0, *,
     for p_ in range(nxb):
         part = parts[p_]
         lat_parts.append(part)
-        m1.append(jax.lax.dot_general(
-            part.astype(compute_dtype), wzy_c, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32))               # (128, N)
+        if "resolve" in _ABLATE:                       # timing-only fake
+            m1.append(jnp.broadcast_to(wzy[0:1, :], (128, n)))
+        else:
+            m1.append(jax.lax.dot_general(
+                part.astype(compute_dtype), wzy_c,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32))           # (128, N)
     feat = jnp.zeros((16, n), f32)
-    for p_ in range(nxb):
-        for rr in range(8):
-            feat = feat + m1[p_][rr * 16:(rr + 1) * 16, :] \
-                * wx[p_ * 8 + rr:p_ * 8 + rr + 1, :]
+    if "xfold" in _ABLATE:                             # timing-only fake
+        feat = m1[0][0:16, :] * wx[0:1, :]
+    else:
+        for p_ in range(nxb):
+            for rr in range(8):
+                feat = feat + m1[p_][rr * 16:(rr + 1) * 16, :] \
+                    * wx[p_ * 8 + rr:p_ * 8 + rr + 1, :]
     aux = BoxfeatAux(tuple(lat_parts), tuple(m1), wzy, wx,
                      lx, fx, ly, fy, lz, fz)
     return feat, aux
@@ -1481,17 +1530,59 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
             stash_ref[off:off + hcount, :] = dval.astype(f32)
             off += hcount
 
+    out_ref[:] = _march_epilogue(
+        value=value, dv_dy=dv_dy, pack=pack, rows_t=rows_t, x=x,
+        rays=rays, tval=tval, kk=kk if latent_boxfeat else None,
+        carry=carry_ref[:],
+        fourier=fourier_ref[:], w1pos=w1pos_ref[:], w1cos=w1cos_ref[:],
+        w1sin=w1sin_ref[:],
+        w1lat=w1lat_ref[:] if has_latent else None,
+        hw=[w[:] for w in hw], w_out=wout_ref[:], tf=tf_ref,
+        activation=activation, act_param=act_param,
+        output_mode=output_mode, has_latent=has_latent,
+        has_latent_table=has_latent and (latent_table
+                                         or bool(latent_subbox)),
+        latent_boxfeat=(latent_boxfeat if has_latent else ()),
+        grid_sizes=grid_sizes, tf_points=tf_points,
+        tf_pre_rows=tf_pre_rows, tf_mode=tf_mode, blend_beer=blend_beer,
+        seg=seg, tile=tile, density_min=density_min,
+        density_max=density_max, stepsize=stepsize, box_min=box_min,
+        box_size=box_size, compute_dtype=compute_dtype,
+        need_normals=need_normals, brdf=brdf, iso_value=iso_value,
+        lattice=bool(latent_boxfeat))
+
+
+def _march_epilogue(*, value, dv_dy, pack, rows_t, x, rays, tval, kk,
+                    carry, fourier, w1pos, w1cos, w1sin, w1lat, hw,
+                    w_out, tf,
+                    activation, act_param, output_mode, has_latent,
+                    has_latent_table, latent_boxfeat, grid_sizes,
+                    tf_points, tf_pre_rows, tf_mode, blend_beer,
+                    seg, tile, density_min, density_max, stepsize,
+                    box_min, box_size, compute_dtype, need_normals,
+                    brdf, iso_value, lattice):
+    """Shared mode epilogue of one (ray-tile, segment) program: output
+    head -> (optional) adjoint normal sweep -> TF (piecewise / texture /
+    1D-preintegrated / gaussian / rgbo skip) -> (optional) Lambert/
+    Blinn-Phong shading -> iso first-crossing OR segment composition.
+    Returns the updated (8|16, tile) carry rows. One implementation for
+    BOTH fused engines (the per-segment scan kernel and the megakernel),
+    mirroring the reference's single-kernel output heads
+    (renderer_volume_tensorcores.cuh:1041-1161, renderer_tf_*.cuh,
+    renderer_brdf_lambert.cuh:55-105)."""
+    rgbo = not output_mode.startswith("density")
+    tmin = rays[6:7, :]                        # k0_ray in lattice mode
+    tmax = rays[7:8, :]
     grad2 = None
     if need_normals:
         g01 = _mlp_position_grad_T(
-            pack, dv_dy, x, rows_t, fourier_ref[:], w1pos_ref[:],
-            w1cos_ref[:], w1sin_ref[:],
-            w1lat_ref[:] if has_latent else None,
-            [w[:] for w in hw], wout_ref[:],
+            pack, dv_dy, x, rows_t, fourier, w1pos,
+            w1cos, w1sin,
+            w1lat if has_latent else None,
+            hw, w_out,
             activation=activation, act_param=act_param,
             grid_sizes=grid_sizes,
-            has_latent_table=has_latent and (latent_table
-                                             or bool(latent_subbox)),
+            has_latent_table=has_latent_table,
             compute_dtype=compute_dtype,
             latent_boxfeat=(latent_boxfeat if has_latent else ()))
         # world-space density gradient (pos01 = (x_w - bmin)/bsize).
@@ -1506,10 +1597,9 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
                          ).reshape(seg, tile) / box_size[c]
                  for c in range(3)]
 
-    carry = carry_ref[:]                       # (8|16, tile)
     tval2 = tval.reshape(seg, tile)
     valid = tval2 <= tmax                      # (1, tile) broadcasts
-    if latent_boxfeat:
+    if lattice:
         # lattice mode: also mask lattice points before the ray's own
         # first step k0_ray (carried in the tmin packet row); integer
         # compare in f32, exact below 2^24
@@ -1532,9 +1622,8 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
         depth_row = jnp.where(hit_new, t_hit, carry[0:1, :])
         found_row = jnp.where(hit_new, 1.0,
                               found_prev.astype(jnp.float32))
-        out_ref[:] = jnp.concatenate(
+        return jnp.concatenate(
             [depth_row, carry[1:3, :], found_row, carry[4:8, :]], axis=0)
-        return
 
     inv_range = 1.0 / (density_max - density_min)
     eye4 = (jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
@@ -1589,7 +1678,7 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
         v2 = value.reshape(seg, tile)
         density2 = (value - density_min) * inv_range          # (1, N)
         d_clip = jnp.clip(density2, 0.0, 1.0)
-        tf_all = tf_ref[:]
+        tf_all = tf[:]
         plain_tbl = tf_all[0:tf_points, :]
         plain_flat = lut4(plain_tbl, d_clip, tf_points, "texture")
         plain_flat = jnp.concatenate(
@@ -1603,7 +1692,7 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
             d2s = density2.reshape(seg, tile)
             prev2 = jnp.concatenate([carry[4:5, :], d2s[:seg - 1, :]],
                                     axis=0)
-            if latent_boxfeat:
+            if lattice:
                 # lattice mode evaluates (masked) samples before the
                 # ray's own first step k0_ray; their densities must not
                 # leak into the prev chain -- the first VALID sample
@@ -1640,7 +1729,7 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
         v2 = value.reshape(seg, tile)
         density2 = (value - density_min) * inv_range          # (1, N)
         d_clip = jnp.clip(density2, 0.0, 1.0)
-        tfg = tf_ref[:]                                        # (G, 6)
+        tfg = tf[:]                                            # (G, 6)
         mu = tfg[:, 4:5]
         sg = tfg[:, 5:6]
         wg = jnp.exp(-((d_clip - mu) ** 2) / (sg * sg))        # (G, N)
@@ -1657,7 +1746,7 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
         # dense
         v2 = value.reshape(seg, tile)
         rgba, absorption, density2 = _piecewise_tf(
-            v2, tf_ref, tf_points=tf_points, density_min=density_min,
+            v2, tf, tf_points=tf_points, density_min=density_min,
             density_max=density_max, stepsize=stepsize)
         require = valid & (v2 >= density_min)
         prev_out = density2[seg - 1:seg, :]
@@ -1721,19 +1810,20 @@ def _segment_kernel(s_ref, rays_ref, lat_ref, *refs,
                                  normals=n_safe, tval2=tval2)
     alpha = carry[3:4, :]
     w0 = 1.0 - alpha
-    out_ref[0:1, :] = carry[0:1, :] + w0 * seg_c[0]
-    out_ref[1:2, :] = carry[1:2, :] + w0 * seg_c[1]
-    out_ref[2:3, :] = carry[2:3, :] + w0 * seg_c[2]
-    out_ref[3:4, :] = alpha + w0 * seg_a
-    out_ref[4:5, :] = prev_out
+    rows = [carry[0:1, :] + w0 * seg_c[0],
+            carry[1:2, :] + w0 * seg_c[1],
+            carry[2:3, :] + w0 * seg_c[2],
+            alpha + w0 * seg_a,
+            prev_out]
     if need_normals:
-        out_ref[5:6, :] = carry[5:6, :] + w0 * seg_c[3]
-        out_ref[6:7, :] = carry[6:7, :] + w0 * seg_c[4]
-        out_ref[7:8, :] = carry[7:8, :] + w0 * seg_c[5]
-        out_ref[8:9, :] = carry[8:9, :] + w0 * seg_c[6]
-        out_ref[9:16, :] = carry[9:16, :]
+        rows += [carry[5:6, :] + w0 * seg_c[3],
+                 carry[6:7, :] + w0 * seg_c[4],
+                 carry[7:8, :] + w0 * seg_c[5],
+                 carry[8:9, :] + w0 * seg_c[6],
+                 carry[9:16, :]]
     else:
-        out_ref[5:8, :] = carry[5:8, :]
+        rows.append(carry[5:8, :])
+    return jnp.concatenate(rows, axis=0)
 
 
 def _pad_tf(tf_tensor: Array) -> Array:
@@ -1741,6 +1831,52 @@ def _pad_tf(tf_tensor: Array) -> Array:
     t = jnp.asarray(tf_tensor, jnp.float32)
     r = t.shape[0]
     return jnp.concatenate([t, jnp.zeros((r, 3), t.dtype)], axis=1)
+
+
+def _prepare_tf(tf_tensor: Array, tf_mode: str, tf_pre):
+    """Kernel TF tensor per mode: (tf_pad, tf_points, tf_pre_rows).
+    Shared by both fused engines (preint1d stacks the cumulative table
+    below the plain table; reference: renderer_tf_texture.cuh:62-84)."""
+    if tf_mode == "piecewise":
+        return _pad_tf(tf_tensor), tf_tensor.shape[0], 0
+    if tf_mode in ("texture", "gaussian"):
+        return (jnp.asarray(tf_tensor, jnp.float32),  # (R, 4) | (G, 6)
+                tf_tensor.shape[0], 0)
+    if tf_mode == "preint1d":
+        if tf_pre is None:
+            raise ValueError("tf_mode='preint1d' needs tf_pre (the "
+                             "cumulative table from with_preintegration)")
+        plain_t = jnp.asarray(tf_tensor, jnp.float32)
+        pre_t = jnp.asarray(tf_pre, jnp.float32)
+        total = plain_t.shape[0] + pre_t.shape[0]
+        pad = (-total) % 8
+        tf_pad = jnp.concatenate(
+            [plain_t, pre_t] + ([jnp.zeros((pad, 4), jnp.float32)]
+                                if pad else []), axis=0)
+        return tf_pad, plain_t.shape[0], pre_t.shape[0]
+    raise ValueError(f"unknown tf_mode {tf_mode!r} "
+                     "(piecewise|texture|preint1d|gaussian)")
+
+
+def _brdf_tuple(brdf, need_normals: bool) -> tuple:
+    """Static BRDF parameter tuple baked into the kernels (shared by
+    both fused engines; reference: renderer_brdf_lambert.cuh:55-105)."""
+    if brdf is None or not (brdf.enable_phong
+                            or brdf.enable_magnitude_scaling):
+        return ()
+    if not need_normals:
+        raise ValueError("brdf shading requires need_normals=True")
+    lp = np.asarray(brdf.light_parameter, np.float32)
+    return (bool(brdf.enable_magnitude_scaling),
+            bool(brdf.enable_phong),
+            float(np.asarray(brdf.magnitude_scaling)),
+            float(np.asarray(brdf.ambient)),
+            float(np.asarray(brdf.specular)),
+            float(np.asarray(brdf.magnitude_center)),
+            float(np.asarray(brdf.magnitude_radius)),
+            brdf.light_type == "direction",
+            float(lp[0]), float(lp[1]), float(lp[2]),
+            int(brdf.specular_exponent))
 
 
 def _weight_list(w: FusedWeights, tf_pad: Array) -> list:
@@ -1926,30 +2062,8 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
     n_seg = (max_steps + seg - 1) // seg
     n_tiles = r_total // tile
     n_samples = seg * tile
-    if tf_mode == "piecewise":
-        tf_pad = _pad_tf(tf_tensor)
-        tf_points = tf_tensor.shape[0]
-        tf_pre_rows = 0
-    elif tf_mode in ("texture", "gaussian"):
-        tf_pad = jnp.asarray(tf_tensor, jnp.float32)  # (R, 4) | (G, 6)
-        tf_points = tf_tensor.shape[0]
-        tf_pre_rows = 0
-    elif tf_mode == "preint1d":
-        if tf_pre is None:
-            raise ValueError("tf_mode='preint1d' needs tf_pre (the "
-                             "cumulative table from with_preintegration)")
-        plain_t = jnp.asarray(tf_tensor, jnp.float32)
-        pre_t = jnp.asarray(tf_pre, jnp.float32)
-        tf_points = plain_t.shape[0]
-        tf_pre_rows = pre_t.shape[0]
-        total = tf_points + tf_pre_rows
-        pad = (-total) % 8
-        tf_pad = jnp.concatenate(
-            [plain_t, pre_t] + ([jnp.zeros((pad, 4), jnp.float32)]
-                                if pad else []), axis=0)
-    else:
-        raise ValueError(f"unknown tf_mode {tf_mode!r} "
-                         "(piecewise|texture|preint1d|gaussian)")
+    tf_pad, tf_points, tf_pre_rows = _prepare_tf(tf_tensor, tf_mode,
+                                                 tf_pre)
 
     # resolve the sub-box latent mode (see docstring)
     subbox_t = ()
@@ -2009,22 +2123,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
             "normals/shading (use the plain-JAX oracle for those)")
     if need_normals and rgbo:
         raise ValueError("normals are only defined for density networks")
-    brdf_t = ()
-    if brdf is not None and (brdf.enable_phong
-                             or brdf.enable_magnitude_scaling):
-        if not need_normals:
-            raise ValueError("brdf shading requires need_normals=True")
-        lp = np.asarray(brdf.light_parameter, np.float32)
-        brdf_t = (bool(brdf.enable_magnitude_scaling),
-                  bool(brdf.enable_phong),
-                  float(np.asarray(brdf.magnitude_scaling)),
-                  float(np.asarray(brdf.ambient)),
-                  float(np.asarray(brdf.specular)),
-                  float(np.asarray(brdf.magnitude_center)),
-                  float(np.asarray(brdf.magnitude_radius)),
-                  brdf.light_type == "direction",
-                  float(lp[0]), float(lp[1]), float(lp[2]),
-                  int(brdf.specular_exponent))
+    brdf_t = _brdf_tuple(brdf, need_normals)
     crows = 16 if need_normals else 8
 
     n_hidden = len(weights.hidden_w)

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 # the matching section of bwd_segment_core for timing-only builds
 _ABLATE = frozenset()
 
+from . import fused_dvr as _fd
 from .fused_dvr import (FusedWeights, _act_value_deriv, _fast_sin,
                         _fast_sincos, _fourier_sincos_rot,
                         _latent_features,
@@ -272,7 +273,10 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
             in_blocks.append(lat)
             w_blocks.append(w1lat_ref[:])
         k_tot = sum(b.shape[0] for b in in_blocks)
-        if k_tot <= 128:
+        if "l1mm" in _fd._ABLATE:            # timing-only fake
+            pre1 = jnp.broadcast_to(b1_ref[:].astype(f32),
+                                    (b1_ref.shape[0], x.shape[1])) * 1.0
+        elif k_tot <= 128:
             pre1 = mm(jnp.concatenate(w_blocks, axis=1),
                       jnp.concatenate(in_blocks, axis=0))
         else:
@@ -287,7 +291,10 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         hs = [h0]
         dacts = [d0]
         for k in range(n_hidden):
-            pre = mm(hw[k][:], hs[-1]) + hb[k][:].astype(f32)
+            if "hidmm" in _fd._ABLATE:       # timing-only fake
+                pre = hs[-1] * 1.01 + hb[k][:].astype(f32)
+            else:
+                pre = mm(hw[k][:], hs[-1]) + hb[k][:].astype(f32)
             hk, dk = _act_value_deriv(activation, pre, act_param)
             hs.append(hk)
             dacts.append(dk)
@@ -528,7 +535,10 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         dpre = dh * dacts[k + 1]
         dpres.insert(0, dpre)
         dhb[k][:] += jnp.sum(dpre, axis=1, keepdims=True)
-        dh = mm(hw[k][:].T, dpre)
+        if "chainmm" in _fd._ABLATE:         # timing-only fake
+            dh = dpre * 0.99
+        else:
+            dh = mm(hw[k][:].T, dpre)
     dpre1 = dh * dacts[0]
     db1_ref[:] += jnp.sum(dpre1, axis=1, keepdims=True)
 
@@ -544,7 +554,12 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         + [w1sin_ref[:].T.astype(f32)] + zpad
     if has_latent and lat is not None:
         big_t.append(w1lat_ref[:].T.astype(f32))
-    dd = mm(jnp.concatenate(big_t, axis=0), dpre1)
+    if "chainmm" in _fd._ABLATE:             # timing-only fake
+        reps = -(-sum(b.shape[0] for b in big_t) // dpre1.shape[0])
+        dd = jnp.concatenate([dpre1 * 0.1] * reps,
+                             axis=0)[:sum(b.shape[0] for b in big_t)]
+    else:
+        dd = mm(jnp.concatenate(big_t, axis=0), dpre1)
     d_cosf = dd[0:fcount, :]
     d_sinf = dd[f8b:f8b + fcount, :]
     d_f = -sinf * d_cosf + cosf * d_sinf

@@ -30,10 +30,14 @@ of it for latent grids that fit in VMEM (the fV-SRN regime: 32^3 x 16ch
   before; the incoming-carry cotangent chains through a VMEM scratch.
 
 Sampling is lattice-aligned (t = k*stepsize), the boxfeat convention --
-compare against ``trace_dvr(..., lattice=True)``. Supported scope:
-density-output SRNs, piecewise TF, optional direction input, static or
-keyframed latent grids (pre-lerped per frame). Normals/rgbo/other TFs
-ride the per-segment kernel (fused_dvr) or the plain path.
+compare against ``trace_dvr(..., lattice=True)``. Forward scope = the
+per-segment engine's full mode matrix (shared ``_march_epilogue``):
+density AND rgbo outputs, piecewise/texture/1D-preintegrated/gaussian
+TFs, adjoint normals + Lambert/Blinn-Phong shading, isosurface
+first-crossing, optional direction input, static or keyframed latent
+grids (pre-lerped per frame), per-ray tmax_clip. The differentiable
+backward covers density-output + piecewise TF (like the per-segment
+engine); other modes train through the plain-JAX oracle.
 
 Reference analogy: this is the closest TPU shape to the reference's
 single-kernel design -- renderer_volume_tensorcores.cuh keeps weights
@@ -55,9 +59,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.latent import resolve_grid
 from ..models.srn import SceneRepresentationNetwork
 from ..utils.vecmath import intersect_aabb
+from . import fused_dvr as _fd
 from .fused_dvr import (BoxfeatSpec, FusedWeights, _boxfeat_features_parts,
-                        _compose_tree, _mlp_forward_T, _pad_tf,
-                        _piecewise_tf, _weight_list, build_boxfeat_grid,
+                        _brdf_tuple, _march_epilogue, _mlp_forward_T,
+                        _prepare_tf, _weight_list, build_boxfeat_grid,
                         certify_boxfeat, extract_weights)
 from .fused_dvr_bwd import bwd_segment_core
 
@@ -233,7 +238,10 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
                      stepsize: float, early_alpha: float,
                      box_min: tuple, box_size: tuple,
                      compute_dtype, has_direction: bool,
-                     differentiable: bool):
+                     differentiable: bool,
+                     need_normals: bool = False, brdf: tuple = (),
+                     tf_mode: str = "piecewise", tf_pre_rows: int = 0,
+                     iso_value=None):
     """One (ray-tile, segment) program of the megakernel forward."""
     if has_latent:
         slab_ref = refs[0]
@@ -251,12 +259,13 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
 
     s = pl.program_id(1)
     f32 = jnp.float32
+    crows = 16 if need_normals else 8
 
     @pl.when(s == 0)
     def _init():
         out_ref[:] = jnp.concatenate(
             [jnp.zeros((4, tile), f32), jnp.full((1, tile), -1.0, f32),
-             jnp.zeros((3, tile), f32)], axis=0)
+             jnp.zeros((crows - 5, tile), f32)], axis=0)
 
     if differentiable:
         # stash the incoming carry for EVERY (tile, segment) program --
@@ -280,14 +289,15 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             box_min=box_min, box_size=box_size,
             has_direction=has_direction)
         lat = None
+        bf_aux = None
         if has_latent:
             parts, (bz, by8, xb0) = _slab_parts(slab_ref, bases_ref,
                                                 mspec)
-            lat, _aux = _boxfeat_features_parts(
+            lat, bf_aux = _boxfeat_features_parts(
                 x, parts, by8.astype(f32), bz.astype(f32),
                 xb0.astype(f32), spec_t=mspec.wspec,
                 grid_sizes=grid_sizes, compute_dtype=compute_dtype)
-        value, _dv, _pack = _mlp_forward_T(
+        value, dv_dy, pack = _mlp_forward_T(
             x, dirs, lat, fourier_ref[:],
             fdir_ref[:] if has_direction else None, w1pos_ref[:],
             w1dir_ref[:] if has_direction else None,
@@ -297,24 +307,26 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             wout_ref[:], bout_ref[:],
             activation=activation, act_param=act_param,
             output_mode=output_mode, compute_dtype=compute_dtype,
+            want_pack=need_normals,
             fourier_rot=(seg, _step_delta(rays, stepsize, box_size)))
-        v2 = value.reshape(seg, tile)
-        rgba, absorption, density2 = _piecewise_tf(
-            v2, tf_ref, tf_points=tf_points, density_min=density_min,
-            density_max=density_max, stepsize=stepsize)
-        tval2 = tval.reshape(seg, tile)
-        kk2 = kk.reshape(seg, tile)
-        valid = (tval2 <= rays[7:8, :]) & (kk2 >= rays[6:7, :])
-        require = valid & (v2 >= density_min)
-        seg_c, seg_a = _compose_tree(rgba, absorption, require, seg,
-                                     blend_beer=blend_beer)
-        alpha = carry[3:4, :]
-        w0 = 1.0 - alpha
-        out_ref[0:1, :] = carry[0:1, :] + w0 * seg_c[0]
-        out_ref[1:2, :] = carry[1:2, :] + w0 * seg_c[1]
-        out_ref[2:3, :] = carry[2:3, :] + w0 * seg_c[2]
-        out_ref[3:4, :] = alpha + w0 * seg_a
-        out_ref[4:5, :] = density2[seg - 1:seg, :]
+        out_ref[:] = _march_epilogue(
+            value=value, dv_dy=dv_dy, pack=pack, rows_t=bf_aux, x=x,
+            rays=rays, tval=tval, kk=kk, carry=carry,
+            fourier=fourier_ref[:], w1pos=w1pos_ref[:],
+            w1cos=w1cos_ref[:], w1sin=w1sin_ref[:],
+            w1lat=w1lat_ref[:] if has_latent else None,
+            hw=[w[:] for w in hw], w_out=wout_ref[:], tf=tf_ref,
+            activation=activation, act_param=act_param,
+            output_mode=output_mode, has_latent=has_latent,
+            has_latent_table=False,
+            latent_boxfeat=(mspec.wspec if has_latent else ()),
+            grid_sizes=grid_sizes, tf_points=tf_points,
+            tf_pre_rows=tf_pre_rows, tf_mode=tf_mode,
+            blend_beer=blend_beer, seg=seg, tile=tile,
+            density_min=density_min, density_max=density_max,
+            stepsize=stepsize, box_min=box_min, box_size=box_size,
+            compute_dtype=compute_dtype, need_normals=need_normals,
+            brdf=brdf, iso_value=iso_value, lattice=True)
 
 
 def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
@@ -429,7 +441,9 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             latent_boxfeat=True,
             fourier_rot=(seg, _step_delta(rays, stepsize, box_size)))
         dcarry_s[:] = dcarry_rows
-        if has_latent:
+        if has_latent and "dtab" in _fd._ABLATE:  # timing-only fake
+            pass
+        elif has_latent:
             # factorized trilerp transpose per x-block, assembled into
             # the (szzc, by8, nxb*128) window and accumulated into the
             # resident gradient slab -- the in-kernel scatter
@@ -481,6 +495,14 @@ def _mega_statics(*, weights, net, mspec, grid_sizes, tf_points,
     )
 
 
+def _mega_bwd_statics(statics: dict) -> dict:
+    """The backward kernel takes the density+piecewise statics only
+    (mode extras are forward-only; guarded in mega_trace_dvr)."""
+    return {k: v for k, v in statics.items()
+            if k not in ("need_normals", "brdf", "tf_mode",
+                         "tf_pre_rows", "iso_value")}
+
+
 def _const_spec(w):
     return pl.BlockSpec(w.shape, (lambda t, s, nd=w.ndim: (0,) * nd),
                         memory_space=pltpu.VMEM)
@@ -501,6 +523,11 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                    subbox=0,
                    time=0.0, ensemble=0.0,
                    tmax_clip: Optional[Array] = None,
+                   need_normals: bool = False,
+                   brdf=None,
+                   tf_mode: str = "piecewise",
+                   tf_pre: Optional[Array] = None,
+                   iso_value=None,
                    interpret: bool = False) -> Array:
     """Fused DVR through an SRN as ONE pallas_call (see module doc).
 
@@ -521,8 +548,18 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
     except Exception as e:
         raise ValueError("mega_trace_dvr requires concrete box_min/"
                          "box_size") from e
-    if not net.output_mode.startswith("density"):
-        raise NotImplementedError("megakernel: density-output SRNs only")
+    rgbo = not net.output_mode.startswith("density")
+    if differentiable and (rgbo or need_normals or iso_value is not None
+                           or tf_mode != "piecewise"):
+        raise NotImplementedError(
+            "megakernel backward: density-output + piecewise TF, no "
+            "normals/shading/iso (same matrix as the per-segment "
+            "engine; other modes train through the plain-JAX oracle)")
+    if iso_value is not None and (need_normals or rgbo):
+        raise ValueError("fused iso marching: forward-only density "
+                         "networks (shading happens outside the kernel)")
+    if need_normals and rgbo:
+        raise ValueError("normals are only defined for density networks")
     ray_start = jnp.asarray(ray_start, dtype)
     ray_dir = jnp.asarray(ray_dir, dtype)
     if r_total % tile != 0:
@@ -591,14 +628,20 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         n_seg = (max_steps + seg - 1) // seg
 
     n_tiles = r_total // tile
-    tf_pad = _pad_tf(tf_tensor)
-    tf_points = tf_tensor.shape[0]
+    tf_pad, tf_points, tf_pre_rows = _prepare_tf(tf_tensor, tf_mode,
+                                                 tf_pre)
+    crows = 16 if need_normals else 8
     statics = _mega_statics(
         weights=weights, net=net, mspec=mspec, grid_sizes=grid_sizes,
         tf_points=tf_points, blend_mode=blend_mode, seg=seg, tile=tile,
         density_min=density_min, density_max=density_max,
         stepsize=stepsize, bmin_t=bmin_t, bsize_t=bsize_t,
         compute_dtype=compute_dtype, has_latent=has_latent)
+    statics.update(need_normals=need_normals,
+                   brdf=_brdf_tuple(brdf, need_normals),
+                   tf_mode=tf_mode, tf_pre_rows=tf_pre_rows,
+                   iso_value=(float(iso_value)
+                              if iso_value is not None else None))
 
     bases, k0t = _mega_bases(
         ray_start, ray_dir, k0_ray, tmax, n_seg=n_seg, seg=seg,
@@ -623,7 +666,7 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         ins.append(slab)
     in_specs += [_const_spec(w) for w in wlist]
 
-    out_spec = pl.BlockSpec((8, tile), lambda t, s: (0, t),
+    out_spec = pl.BlockSpec((crows, tile), lambda t, s: (0, t),
                             memory_space=pltpu.VMEM)
     early = float(alpha_early_out) if enable_early_out else 2.0
 
@@ -635,15 +678,21 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
             grid=(n_tiles, n_seg),
             in_specs=in_specs,
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((8, r_total), dtype),
+            out_shape=jax.ShapeDtypeStruct((crows, r_total), dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024),
             interpret=interpret,
         )
         carry = call(*ins, *wlist)
+        if need_normals:
+            from ..raytracer.dvr import RayEvaluationOutput
+            return RayEvaluationOutput(color=carry[:4].T,
+                                       normal=carry[5:8].T,
+                                       depth=carry[8:9].T)
         return carry[:4].T
 
-    op = _make_mega_op(statics=statics, n_tiles=n_tiles, n_seg=n_seg,
+    op = _make_mega_op(statics=_mega_bwd_statics(statics),
+                       n_tiles=n_tiles, n_seg=n_seg,
                        r_total=r_total, tile=tile, in_specs=in_specs,
                        out_spec=out_spec, wlist_shapes=wlist,
                        has_latent=has_latent,

@@ -57,3 +57,24 @@ def test_figure_scripts_define_configs():
         assert len(set(names)) == len(names)
         for _, o in cfgs:
             assert isinstance(o, dict)
+
+
+def test_sweep_render_arm(tmp_path):
+    """--render times a fused (megakernel) screen render of each trained
+    net, including the rgbo arm (eval_density_vs_color's engine=mega
+    coverage)."""
+    rows = run_sweep(
+        [("density", {"outputmode": "density:direct",
+                      "volumetric_features_channels": 4,
+                      "volumetric_features_resolution": 8}),
+         ("rgbo", {"outputmode": "rgbo",
+                   "volumetric_features_channels": 4,
+                   "volumetric_features_resolution": 8})],
+        base={"epochs": 2, "samples": 1024, "batch_size": 512,
+              "lr": 0.01},
+        scene="IMPLICIT:SPHERE",
+        out_dir=str(tmp_path),
+        eval_samples=512,
+        render=True)
+    for r in rows:
+        assert np.isfinite(r["render_ms"]) and r["render_ms"] > 0

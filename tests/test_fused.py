@@ -1359,3 +1359,129 @@ def test_probe_saturation_planned_truncation():
     # the reference's early-out
     np.testing.assert_allclose(got, ref, atol=3e-3)
     assert ref[:, 3].max() > 0.9
+
+
+# ---------------------------------------------------------------------------
+# Megakernel mode parity: the shared _march_epilogue serves normals/
+# shading, rgbo, texture/preintegrated/gaussian TFs, and iso through the
+# mega engine too (one kernel shape for all modes, like the reference's
+# renderer_volume_tensorcores.cuh output heads).
+# ---------------------------------------------------------------------------
+
+def test_mega_normals_and_shading():
+    from fvsrn_tpu.brdf import BRDFLambert
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    brdf = BRDFLambert.make(enable_phong=True, ambient=0.2, specular=0.3,
+                            magnitude_center=0.02, magnitude_radius=0.02,
+                            light=(0.3, -0.5, -1.0))
+    ref = _plain_lattice(net, tf, rs, rd, stepsize, steps, False,
+                         need_normals=True, brdf=brdf)
+    got = mega_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, need_normals=True, brdf=brdf,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got.color),
+                               np.asarray(ref.color), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.normal),
+                               np.asarray(ref.normal), atol=5e-4)
+    assert np.abs(np.asarray(ref.normal)).max() > 0.1
+
+
+@pytest.mark.parametrize("output_mode", ["rgbo", "rgbo:exp"])
+def test_mega_rgbo_matches_lattice_plain(output_mode):
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _scene(True, output_mode=output_mode)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                    False).color)
+    got = np.asarray(mega_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    assert ref[:, 3].max() > 0.1
+
+
+def test_mega_texture_tf_matches_lattice_plain():
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf = _texture_tf()
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                    False).color)
+    got = np.asarray(mega_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, tf_mode="texture", interpret=True))
+    assert ref[:, 3].max() > 0.5
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_mega_preintegrated_tf_matches_lattice_plain():
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf = _texture_tf().with_preintegration(resolution=128)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                    False).color)
+    got = np.asarray(mega_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, tf_mode="preint1d",
+        tf_pre=tf.preintegrated, interpret=True))
+    assert ref[:, 3].max() > 0.5
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_mega_gaussian_tf_matches_lattice_plain():
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    from fvsrn_tpu.transfer import TransferFunctionGaussian
+    net, _, rs, rd = _scene(True, output_mode="density")
+    rng = np.random.default_rng(6)
+    g = np.zeros((3, 6), np.float32)
+    g[:, 0:3] = rng.random((3, 3))
+    g[:, 3] = [10.0, 20.0, 15.0]
+    g[:, 4] = [0.3, 0.55, 0.8]
+    g[:, 5] = [0.08, 0.05, 0.1]
+    tf = TransferFunctionGaussian(tensor=jnp.asarray(g))
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                    False).color)
+    got = np.asarray(mega_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, tf_mode="gaussian", interpret=True))
+    assert ref[:, 3].max() > 0.5
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_mega_iso_matches_lattice_plain():
+    from fvsrn_tpu.ops.fused_dvr import fused_trace_iso
+    from fvsrn_tpu.raytracer.iso import RayEvaluationSteppingIso, trace_iso
+    net, _, rs, rd = _scene(True, seed=22, output_mode="density")
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    vol = VolumeInterpolationNetwork.make(net)
+    probe = np.random.default_rng(0).random((512, 3)).astype(
+        np.float32) - 0.5
+    dens, _ = vol.eval_density(jnp.asarray(probe))
+    cfg = RayEvaluationSteppingIso.make(
+        stepsize=stepsize, isovalue=float(np.median(np.asarray(dens))),
+        binary_search_steps=6)
+    ref = trace_iso(rs, rd, vol, cfg, steps, lattice=True)
+    assert (np.asarray(ref.color)[:, 3] > 0.5).sum() > 20
+    got = fused_trace_iso(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), cfg,
+        max_steps=steps, seg=8, tile=64, engine="mega", interpret=True)
+    np.testing.assert_allclose(np.asarray(got.depth),
+                               np.asarray(ref.depth), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.color),
+                               np.asarray(ref.color), atol=1e-4)
