@@ -22,6 +22,7 @@ import numpy as np
 
 def measure(n_devices: int, width: int, height: int, stepsize: float,
             repeats: int = 3) -> float:
+    """One timed run: rays/s of the DP-sharded render on n devices."""
     import jax
     import jax.numpy as jnp
     from ..camera import CameraOnASphere, generate_rays
@@ -74,6 +75,37 @@ def measure(n_devices: int, width: int, height: int, stepsize: float,
     return width * height / dt
 
 
+def _spawn_one(n: int, args) -> dict:
+    """Run ONE device count in a fresh process: the virtual CPU platform
+    is created with EXACTLY n devices and the process is pinned to n
+    physical cores (taskset), so each virtual device maps ~1:1 onto a
+    core. Normalization: 1 device on 1 core is the linear-scaling unit
+    -- the shortfall at n devices on n cores is sharding overhead +
+    shared-memory-bandwidth contention, not thread oversubscription
+    (which is what the round-2 artifact measured: 8 virtual devices'
+    thread pools time-slicing 4 cores gave 0.602 'efficiency' at 8 and
+    super-linear 1.211 at 4)."""
+    import os
+    import shutil
+    import subprocess
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        f" --xla_force_host_platform_device_count={n}")
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [sys.executable, "-m", "fvsrn_tpu.eval.eval_scaling",
+           "--devices", str(n), "--width", str(args.width),
+           "--height", str(args.height), "--stepsize",
+           str(args.stepsize), "--trials", str(args.trials),
+           # env JAX_PLATFORMS is ignored when a platform plugin forces
+           # itself; the flag goes through jax.config.update instead
+           "--platform", "cpu"]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])[str(n)]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+",
@@ -81,10 +113,39 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--stepsize", type=float, default=1 / 64)
+    p.add_argument("--trials", type=int, default=1,
+                   help="independent timed trials; reports mean and std")
     p.add_argument("--platform", default=None,
                    help="cpu = virtual multi-device CPU mesh (set "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+    p.add_argument("--spawn", action="store_true",
+                   help="one pinned subprocess per device count (the "
+                        "contention-controlled harness; see _spawn_one)")
     args = p.parse_args(argv)
+
+    if args.spawn:
+        import multiprocessing
+        cores = multiprocessing.cpu_count()
+        results = {}
+        base = None
+        for n in args.devices:
+            if n > cores:
+                print(f"skip n={n} (only {cores} physical cores; "
+                      "devices beyond cores measure time-slicing, not "
+                      "scaling)", file=sys.stderr)
+                continue
+            r = _spawn_one(n, args)
+            if base is None:
+                base = r["rays_per_s"] / n
+            r["efficiency_vs_linear"] = round(
+                r["rays_per_s"] / (base * n), 4)
+            results[str(n)] = r
+            print(f"n={n}: {r['rays_per_s'] / 1e6:.3f} Mrays/s "
+                  f"+- {r.get('rays_per_s_std', 0) / 1e6:.3f} "
+                  f"(efficiency {r['efficiency_vs_linear'] * 100:.1f}%)",
+                  file=sys.stderr)
+        print(json.dumps(results))
+        return 0
 
     import jax
     if args.platform:
@@ -96,12 +157,17 @@ def main(argv=None):
         if n > avail:
             print(f"skip n={n} (only {avail} devices)", file=sys.stderr)
             continue
-        rays_s = measure(n, args.width, args.height, args.stepsize)
+        vals = [measure(n, args.width, args.height, args.stepsize)
+                for _ in range(args.trials)]
+        rays_s = float(np.mean(vals))
         if base is None:
             base = rays_s
         eff = rays_s / (base * n / args.devices[0])
         results[str(n)] = {"rays_per_s": round(rays_s, 1),
                            "efficiency_vs_linear": round(eff, 4)}
+        if args.trials > 1:
+            results[str(n)]["rays_per_s_std"] = round(
+                float(np.std(vals)), 1)
         print(f"n={n}: {rays_s / 1e6:.3f} Mrays/s "
               f"(efficiency {eff * 100:.1f}%)", file=sys.stderr)
     print(json.dumps(results))

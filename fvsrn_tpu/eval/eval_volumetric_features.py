@@ -110,6 +110,10 @@ def main(argv=None):
             "ssim_vs_reference": round(s, 4),
             "lpips_vs_reference": lp,
         }
+        if lp is None:
+            results[mode]["lpips_note"] = (
+                "no LPIPS weights found (set FVSRN_LPIPS_BACKBONE/"
+                "FVSRN_LPIPS_LINEAR); SSIM is the substitute metric")
         print(f"{mode}: {mean_ms:.1f}±{std_ms:.1f} ms "
               f"({mrays:.2f} Mrays/s), SSIM {s:.4f}, LPIPS {lp}",
               file=sys.stderr)

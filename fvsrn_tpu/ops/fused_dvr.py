@@ -885,6 +885,12 @@ def _fourier_sincos_rot(f0, df, seg: int):
     (renderer_volume_tensorcores.cuh fourier block); this trades on
     the TPU's lattice-aligned sampling.
     """
+    # drift bound: the rotated pairs are never renormalized, so
+    # sin^2+cos^2 drifts by ~eps per doubling/fma (measured ~1e-5 at
+    # seg=32, covered by the gradient-oracle tests); error grows with
+    # the doubling depth and |j*df|, so cap seg here -- renormalize
+    # (sm, cm) per doubling step before lifting the cap.
+    assert seg <= 128, "fourier phase rotation: renormalize before seg>128"
     s0, c0 = _fast_sincos(f0)
     sm, cm = _fast_sincos(df)
     bs_, bc_ = [s0], [c0]

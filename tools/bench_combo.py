@@ -7,12 +7,13 @@ renderer_volume_tensorcores.cuh) without breaking the numeric contract.
 
 Usage: python tools/bench_combo.py
 """
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -48,7 +49,9 @@ def main():
 
     grads = {}
 
-    def bench(tag, *, early_out, compute_dtype, frames=4):
+    def bench(tag, *, early_out, compute_dtype, frames=16):
+        # 16 frames: tunnel run-to-run variance at 4 frames (~2%)
+        # exceeded the per-variant spreads PERF.md reads off this sweep
         @jax.jit
         def fb(net, tft):
             def loss_fn(n, t):
