@@ -197,6 +197,24 @@ def main():
     print(f"trained scene: {dt:.3f}s/frame over {TIMED_FRAMES}",
           file=sys.stderr)
 
+    # ---- secondary arm: trained-scene FORWARD-only (the reference's
+    # own timing mode is forward-only interactive rendering) ----
+    @jax.jit
+    def fwd_only(net, tft):
+        c = fused_trace_dvr_bucketed(
+            rs, rd, net, bm, bs, tft, plan=plan, stepsize=STEPSIZE,
+            seg=32, tile=256, enable_early_out=True,
+            differentiable=False, latent_mode="boxfeat",
+            table_dtype=jnp.bfloat16, engine="mega")
+        return jnp.mean(c ** 2)
+
+    _ = float(fwd_only(net, tf.tensor))
+    t0 = time.perf_counter()
+    vals = [fwd_only(net, tf.tensor) for _ in range(TIMED_FRAMES)]
+    _ = [float(v) for v in vals]
+    dt_f = (time.perf_counter() - t0) / TIMED_FRAMES
+    print(f"trained forward-only: {dt_f:.3f}s/frame", file=sys.stderr)
+
     # ---- secondary arm: random-weight flagship (round-2 contract) ----
     vol_r, tf_r, _cfg = _build_flagship()
     plan_r = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=STEPSIZE,
@@ -221,6 +239,7 @@ def main():
         "gate_img_max_abs_diff": round(img_diff, 6),
         "gate_grad_norm_rel_err": round(grad_rel, 6),
         "random_weights_mrays": round(WIDTH * HEIGHT / dt_r / 1e6, 4),
+        "trained_forward_mrays": round(WIDTH * HEIGHT / dt_f / 1e6, 4),
     }))
 
 

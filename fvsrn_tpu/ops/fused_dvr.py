@@ -415,6 +415,8 @@ class RayBucketPlan(NamedTuple):
     group_specs: tuple        # BoxfeatSpec per group (or 0s)
     dead: int                 # leading rays whose tiles never hit the box
     tmax_clip: Optional[np.ndarray] = None  # (R,) permuted per-ray t clamp
+    group_specs_fine: tuple = ()  # per-bucket FINE (sub-segment window)
+    #   BoxfeatSpec for the megakernel's grouped resolve (resolve_groups)
 
 
 def probe_saturation_tmax(ray_start, ray_dir, volume, tf, *,
@@ -497,7 +499,8 @@ def probe_saturation_tmax(ray_start, ray_dir, volume, tf, *,
 def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
                      stepsize: float, seg: int, tile: int,
                      n_buckets: int = 4, grid_sizes=None,
-                     quantize: int = 0, tmax_clip=None) -> RayBucketPlan:
+                     quantize: int = 0, tmax_clip=None,
+                     resolve_groups: int = 1) -> RayBucketPlan:
     """Bucket ray tiles by march length so short tiles stop marching
     early.
 
@@ -558,9 +561,11 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
     spans_sorted = span_t[order_t]
     n_dead = 0 if quantize else int(np.sum(spans_sorted <= 0))
     live = n_tiles - n_dead
-    sizes, steps, specs = [], [], []
+    sizes, steps, specs, specs_fine = [], [], [], []
     clip_p = (np.asarray(tmax_clip, np.float32)[perm]
               if tmax_clip is not None else None)
+    if resolve_groups > 1 and seg % resolve_groups:
+        raise ValueError("resolve_groups must divide seg")
     if live > 0:
         edges = np.linspace(n_dead, n_tiles, n_buckets + 1).astype(int)
         rs_p = rs[perm]
@@ -575,12 +580,13 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
             sizes.append((b - a) * tile)
             steps.append(g_steps)
             if grid_sizes is not None:
+                clip_b = (clip_p[a * tile:b * tile]
+                          if clip_p is not None else None)
                 sp = certify_boxfeat(
                     rs_p[a * tile:b * tile], rd_p[a * tile:b * tile],
                     grid_sizes, bmin, bsize, stepsize=stepsize,
                     max_steps=g_steps, seg=seg, tile=tile,
-                    tmax_clip=(clip_p[a * tile:b * tile]
-                               if clip_p is not None else None))
+                    tmax_clip=clip_b)
                 if quantize:
                     # stabilize the static spec across cameras: round
                     # footprint corners up to even, segment count to
@@ -593,11 +599,30 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
                         -(-sp.szzc // 2) * 2, nxb,
                         max(sp.n_seg, -(-g_steps // seg)))
                 specs.append(sp)
+                if resolve_groups > 1:
+                    # FINE certificate: the same endpoint math at
+                    # sub-segment (seg/groups step) window granularity
+                    # -- the megakernel's grouped resolve slices these
+                    # smaller windows out of the resident slab
+                    spf = certify_boxfeat(
+                        rs_p[a * tile:b * tile], rd_p[a * tile:b * tile],
+                        grid_sizes, bmin, bsize, stepsize=stepsize,
+                        max_steps=g_steps, seg=seg // resolve_groups,
+                        tile=tile, tmax_clip=clip_b)
+                    if quantize:
+                        szxcf = -(-spf.szxc // 2) * 2
+                        nxbf = min((szxcf + 7 + 7) // 8,
+                                   (int(grid_sizes[0]) + 2 + 7) // 8)
+                        spf = BoxfeatSpec(
+                            szxcf, -(-spf.szyc // 2) * 2,
+                            -(-spf.szzc // 2) * 2, nxbf, spf.n_seg)
+                    specs_fine.append(spf)
             else:
                 specs.append(0)
     return RayBucketPlan(perm=perm, inv=inv_p, group_sizes=tuple(sizes),
                          group_steps=tuple(steps), tmax_clip=clip_p,
-                         group_specs=tuple(specs), dead=n_dead * tile)
+                         group_specs=tuple(specs), dead=n_dead * tile,
+                         group_specs_fine=tuple(specs_fine))
 
 
 def fused_trace_iso(ray_start: Array, ray_dir: Array, net,
@@ -679,14 +704,19 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
         kwargs.pop("latent_mode", None)
         kwargs.pop("segment_remat", None)
         kwargs.pop("stash_backward", None)
+        if plan.group_specs_fine and "resolve_groups" not in kwargs:
+            raise ValueError("plan carries fine specs; pass the same "
+                             "resolve_groups it was planned with")
 
-        def trace(rs_, rd_, steps_, spec_, clip_):
+        def trace(rs_, rd_, steps_, spec_, fine_, clip_):
             return mega_trace_dvr(rs_, rd_, net, box_min, box_size,
                                   tf_tensor, max_steps=steps_,
-                                  subbox=spec_, tmax_clip=clip_,
-                                  **kwargs)
+                                  subbox=spec_, subbox_fine=fine_,
+                                  tmax_clip=clip_, **kwargs)
     else:
-        def trace(rs_, rd_, steps_, spec_, clip_):
+        kwargs.pop("resolve_groups", None)
+
+        def trace(rs_, rd_, steps_, spec_, fine_, clip_):
             return fused_trace_dvr(rs_, rd_, net, box_min, box_size,
                                    tf_tensor, max_steps=steps_,
                                    subbox=spec_, tmax_clip=clip_,
@@ -697,14 +727,17 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
     rd = jnp.take(ray_dir, perm, axis=0)
     outs = []
     ofs = plan.dead
-    for size, g_steps, spec in zip(plan.group_sizes, plan.group_steps,
-                                   plan.group_specs):
+    fines = (plan.group_specs_fine if plan.group_specs_fine
+             else (0,) * len(plan.group_sizes))
+    for size, g_steps, spec, fine in zip(plan.group_sizes,
+                                         plan.group_steps,
+                                         plan.group_specs, fines):
         clip_g = (jnp.asarray(plan.tmax_clip[ofs:ofs + size])
                   if plan.tmax_clip is not None else None)
         outs.append(trace(
             jax.lax.dynamic_slice_in_dim(rs, ofs, size),
             jax.lax.dynamic_slice_in_dim(rd, ofs, size),
-            g_steps, spec, clip_g))
+            g_steps, spec, fine, clip_g))
         ofs += size
     if plan.dead:
         dead_out = jax.tree.map(
@@ -907,6 +940,34 @@ def _fourier_sincos_rot(f0, df, seg: int):
     return jnp.concatenate(bs_, axis=1), jnp.concatenate(bc_, axis=1)
 
 
+def _incat8(blocks, dtype):
+    """Concatenate K-blocks with each block zero-padded to an 8-row
+    multiple: every block boundary lands on a sublane-tile boundary, so
+    the concat lowers to whole-vreg copies instead of sublane rotates
+    (measured: the misaligned (47, N) layer-1 concat was a large VPU
+    cost at N=8192)."""
+    out = []
+    for b in blocks:
+        out.append(b.astype(dtype))
+        padr = (-b.shape[0]) % 8
+        if padr:
+            out.append(jnp.zeros((padr, b.shape[1]), dtype))
+    return jnp.concatenate(out, axis=0)
+
+
+def _wcat8(w_blocks):
+    """Weight-side counterpart of :func:`_incat8`: zero columns against
+    the zero-padded input rows (tiny (32, K) concat, outside the hot
+    per-sample path)."""
+    out = []
+    for w in w_blocks:
+        out.append(w)
+        padc = (-w.shape[1]) % 8
+        if padc:
+            out.append(jnp.zeros((w.shape[0], padc), w.dtype))
+    return jnp.concatenate(out, axis=1)
+
+
 def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
                    w1lat, b1, hw, hb, w_out, b_out,
                    *, activation, act_param, output_mode, compute_dtype,
@@ -959,14 +1020,19 @@ def _mlp_forward_T(x, dirs, lat, fourier, fdir, w1pos, w1dir, w1cos, w1sin,
     if lat is not None:
         in_blocks.append(lat)
         w_blocks.append(w1lat)
-    k_tot = sum(b.shape[0] for b in in_blocks)
+    k_tot = sum(-(-b.shape[0] // 8) * 8 for b in in_blocks)
     if "l1mm" in _ABLATE:                    # timing-only fake
         # lane-broadcast of b1 (32,1): cheap, unlike a sublane broadcast
         h = jnp.broadcast_to(b1.astype(jnp.float32),
                              (b1.shape[0], x.shape[1])) * 1.0
+        if "keepdeps" in _ABLATE:
+            # keep every feeder live so the seam measures ONLY the
+            # matmul+concat, not compiler DCE of the fourier/latent
+            # chains that feed it
+            h = h + 1e-30 * (x[0:1] + cosf[0:1] + sinf[0:1]
+                             + (lat[0:1] if lat is not None else 0.0))
     elif k_tot <= 128:
-        h = mm(jnp.concatenate(w_blocks, axis=1),
-               jnp.concatenate([b.astype(cd) for b in in_blocks], axis=0))
+        h = mm(_wcat8(w_blocks), _incat8(in_blocks, cd))
     else:
         h = mm(w_blocks[0], in_blocks[0])
         for wb, ib in zip(w_blocks[1:], in_blocks[1:]):

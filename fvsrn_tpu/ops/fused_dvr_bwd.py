@@ -272,13 +272,17 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         if lat is not None:
             in_blocks.append(lat)
             w_blocks.append(w1lat_ref[:])
-        k_tot = sum(b.shape[0] for b in in_blocks)
+        k_tot = sum(-(-b.shape[0] // 8) * 8 for b in in_blocks)
         if "l1mm" in _fd._ABLATE:            # timing-only fake
             pre1 = jnp.broadcast_to(b1_ref[:].astype(f32),
                                     (b1_ref.shape[0], x.shape[1])) * 1.0
+            if "keepdeps" in _fd._ABLATE:    # see _mlp_forward_T
+                pre1 = pre1 + 1e-30 * (x[0:1] + cosf[0:1] + sinf[0:1]
+                                       + (lat[0:1] if lat is not None
+                                          else 0.0))
         elif k_tot <= 128:
-            pre1 = mm(jnp.concatenate(w_blocks, axis=1),
-                      jnp.concatenate(in_blocks, axis=0))
+            pre1 = mm(_fd._wcat8(w_blocks),
+                      _fd._incat8(in_blocks, compute_dtype))
         else:
             pre1 = mm(w_blocks[0], in_blocks[0])
             for wb, ib in zip(w_blocks[1:], in_blocks[1:]):

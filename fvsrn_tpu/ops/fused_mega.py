@@ -228,6 +228,40 @@ def _slab_parts(slab_ref, bases_ref, mspec: MegaSpec):
     return parts, (bz, by8, xb0)
 
 
+def _grouped_lat(x, slab_ref, basesf_ref, mspec_f: MegaSpec, groups: int,
+                 grid_sizes, compute_dtype):
+    """Group-windowed boxfeat resolve (the round-3 sub-window lever,
+    PERF.md): each seg/groups-step group of lanes resolves against its
+    own FINE certified window sliced from the resident slab, so the
+    resolve matmuls' K dim shrinks from the whole segment's (z, y8)
+    footprint to the group footprint (usually one K<=64 MXU pass) and
+    the wzy Khatri-Rao build shrinks with it. Returns (lat (16, N),
+    [aux_g], [(bz, by8, xoff)_g]) -- the per-group aux/window feed the
+    backward's transposed accumulation."""
+    n = x.shape[1]
+    ng = n // groups
+    f32 = jnp.float32
+    feats, auxs, winds = [], [], []
+    for g in range(groups):
+        bz = basesf_ref[g, 0, 0]
+        by8 = pl.multiple_of(basesf_ref[g, 0, 1], 8)
+        xb0 = basesf_ref[g, 0, 2]
+        xoff = pl.multiple_of(xb0 * 128, 128)
+        box = slab_ref[pl.ds(bz, mspec_f.szzc), pl.ds(by8, mspec_f.by8),
+                       pl.ds(xoff, mspec_f.nxb * 128)]
+        flat = box.astype(f32).reshape(mspec_f.wrows, mspec_f.nxb * 128)
+        parts = [flat[:, p_ * 128:(p_ + 1) * 128]
+                 for p_ in range(mspec_f.nxb)]
+        feat_g, aux_g = _boxfeat_features_parts(
+            x[:, g * ng:(g + 1) * ng], parts, by8.astype(f32),
+            bz.astype(f32), xb0.astype(f32), spec_t=mspec_f.wspec,
+            grid_sizes=grid_sizes, compute_dtype=compute_dtype)
+        feats.append(feat_g)
+        auxs.append(aux_g)
+        winds.append((bz, by8, xoff))
+    return jnp.concatenate(feats, axis=1), auxs, winds
+
+
 def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
                      n_hidden: int, activation: str, act_param: float,
                      output_mode: str, has_latent: bool,
@@ -241,8 +275,13 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
                      differentiable: bool,
                      need_normals: bool = False, brdf: tuple = (),
                      tf_mode: str = "piecewise", tf_pre_rows: int = 0,
-                     iso_value=None):
+                     iso_value=None,
+                     resolve_groups: int = 1,
+                     mspec_fine: Optional[MegaSpec] = None):
     """One (ray-tile, segment) program of the megakernel forward."""
+    if resolve_groups > 1:
+        basesf_ref = refs[0]
+        refs = refs[1:]
     if has_latent:
         slab_ref = refs[0]
         refs = refs[1:]
@@ -290,7 +329,11 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             has_direction=has_direction)
         lat = None
         bf_aux = None
-        if has_latent:
+        if has_latent and resolve_groups > 1:
+            lat, _, _ = _grouped_lat(x, slab_ref, basesf_ref, mspec_fine,
+                                     resolve_groups, grid_sizes,
+                                     compute_dtype)
+        elif has_latent:
             parts, (bz, by8, xb0) = _slab_parts(slab_ref, bases_ref,
                                                 mspec)
             lat, bf_aux = _boxfeat_features_parts(
@@ -338,11 +381,16 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
                      density_min: float, density_max: float,
                      stepsize: float, early_alpha: float,
                      box_min: tuple, box_size: tuple,
-                     compute_dtype, has_direction: bool):
+                     compute_dtype, has_direction: bool,
+                     resolve_groups: int = 1,
+                     mspec_fine: Optional[MegaSpec] = None):
     """Backward of one (ray-tile, segment) program, segments visited in
     REVERSE (the incoming-carry cotangent chains through the dcarry
     scratch). Latent-grid gradients accumulate into the dtab scratch
     slab; weight/TF gradients into revisited output blocks."""
+    if resolve_groups > 1:
+        basesf_ref = refs[0]
+        refs = refs[1:]
     if has_latent:
         slab_ref = refs[0]
         refs = refs[1:]
@@ -414,7 +462,12 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             has_direction=has_direction)
         lat = None
         bf_aux = None
-        if has_latent:
+        auxs = winds = None
+        if has_latent and resolve_groups > 1:
+            lat, auxs, winds = _grouped_lat(
+                x, slab_ref, basesf_ref, mspec_fine, resolve_groups,
+                grid_sizes, compute_dtype)
+        elif has_latent:
             parts, (bz, by8, xb0) = _slab_parts(slab_ref, bases_ref,
                                                 mspec)
             lat, bf_aux = _boxfeat_features_parts(
@@ -441,14 +494,40 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             latent_boxfeat=True,
             fourier_rot=(seg, _step_delta(rays, stepsize, box_size)))
         dcarry_s[:] = dcarry_rows
+        cd = compute_dtype
         if has_latent and "dtab" in _fd._ABLATE:  # timing-only fake
             pass
+        elif has_latent and resolve_groups > 1:
+            # grouped transposed accumulation: each group's cotangent
+            # lands in its own FINE window (sequential RMW within one
+            # program handles overlapping group windows correctly)
+            ng = d_lat.shape[1] // resolve_groups
+            for g in range(resolve_groups):
+                aux_g = auxs[g]
+                bz, by8, xoff = winds[g]
+                d_g = d_lat[:, g * ng:(g + 1) * ng]
+                wzy_c = aux_g.wzy.astype(cd)
+                parts_d = []
+                for p_ in range(mspec_fine.nxb):
+                    dm1 = jnp.concatenate(
+                        [aux_g.wx[p_ * 8 + rr:p_ * 8 + rr + 1, :] * d_g
+                         for rr in range(8)], axis=0)    # (128, Ng)
+                    parts_d.append(jax.lax.dot_general(
+                        wzy_c, dm1.astype(cd),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32))     # (WROWSf, 128)
+                dbox3 = jnp.concatenate(parts_d, axis=1).reshape(
+                    mspec_fine.szzc, mspec_fine.by8,
+                    mspec_fine.nxb * 128)
+                ix = (pl.ds(bz, mspec_fine.szzc),
+                      pl.ds(by8, mspec_fine.by8),
+                      pl.ds(xoff, mspec_fine.nxb * 128))
+                dtab_acc[ix] = dtab_acc[ix] + dbox3
         elif has_latent:
             # factorized trilerp transpose per x-block, assembled into
             # the (szzc, by8, nxb*128) window and accumulated into the
             # resident gradient slab -- the in-kernel scatter
             parts_d = []
-            cd = compute_dtype
             wzy_c = bf_aux.wzy.astype(cd)
             for p_ in range(mspec.nxb):
                 dm1 = jnp.concatenate(
@@ -475,8 +554,11 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
 
 def _mega_statics(*, weights, net, mspec, grid_sizes, tf_points,
                   blend_mode, seg, tile, density_min, density_max,
-                  stepsize, bmin_t, bsize_t, compute_dtype, has_latent):
+                  stepsize, bmin_t, bsize_t, compute_dtype, has_latent,
+                  resolve_groups=1, mspec_fine=None):
     return dict(
+        resolve_groups=resolve_groups,
+        mspec_fine=mspec_fine,
         n_hidden=len(weights.hidden_w),
         activation=net.layers[0].activation,
         act_param=net.layers[0].activation_param,
@@ -528,6 +610,8 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                    tf_mode: str = "piecewise",
                    tf_pre: Optional[Array] = None,
                    iso_value=None,
+                   resolve_groups: int = 1,
+                   subbox_fine=0,
                    interpret: bool = False) -> Array:
     """Fused DVR through an SRN as ONE pallas_call (see module doc).
 
@@ -586,8 +670,16 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
     if has_latent and cl > 16:
         raise NotImplementedError("megakernel: <= 16 latent channels")
 
+    if resolve_groups > 1 and seg % resolve_groups:
+        raise ValueError("resolve_groups must divide seg")
+    if need_normals or not has_latent:
+        # the adjoint-normal sweep consumes the whole-segment BoxfeatAux
+        # (and without a latent grid there is nothing to window)
+        resolve_groups = 1
+
     grid_sizes = (1, 1, 1)
     mspec = None
+    mspec_fine = None
     slab = None
     nxb_tot = 0
     yp = 0
@@ -609,6 +701,21 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         nxb_tot = (gw + 2 + 7) // 8
         by8max = max(0, ((gh + 2 - mspec.szyc) // 8) * 8)
         yp = max(-(-(gh + 2) // 8) * 8, by8max + mspec.by8)
+        if resolve_groups > 1:
+            if isinstance(subbox_fine, BoxfeatSpec):
+                bf_fine = subbox_fine
+            else:
+                bf_fine = certify_boxfeat(
+                    ray_start, ray_dir, grid_sizes, box_min, box_size,
+                    stepsize=stepsize, max_steps=max_steps,
+                    seg=seg // resolve_groups, tile=tile,
+                    tmax_clip=(np.asarray(tmax_clip)
+                               if tmax_clip is not None else None))
+            mspec_fine = _mega_spec(bf_fine)
+            # the fine windows' 8-aligned y bases can start later than
+            # the coarse ones; pad the slab to cover both
+            by8max_f = max(0, ((gh + 2 - mspec_fine.szyc) // 8) * 8)
+            yp = max(yp, by8max_f + mspec_fine.by8)
         slab_bytes = (gd + 2) * yp * nxb_tot * 128 \
             * jnp.dtype(table_dtype).itemsize
         if slab_bytes > SLAB_VMEM_LIMIT:
@@ -636,7 +743,8 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         tf_points=tf_points, blend_mode=blend_mode, seg=seg, tile=tile,
         density_min=density_min, density_max=density_max,
         stepsize=stepsize, bmin_t=bmin_t, bsize_t=bsize_t,
-        compute_dtype=compute_dtype, has_latent=has_latent)
+        compute_dtype=compute_dtype, has_latent=has_latent,
+        resolve_groups=resolve_groups, mspec_fine=mspec_fine)
     statics.update(need_normals=need_normals,
                    brdf=_brdf_tuple(brdf, need_normals),
                    tf_mode=tf_mode, tf_pre_rows=tf_pre_rows,
@@ -648,6 +756,15 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         stepsize=stepsize, tile=tile, has_latent=has_latent,
         grid_sizes=grid_sizes, box_min=box_min, box_size=box_size,
         mspec=mspec, nxb_tot=nxb_tot, yp=yp)
+    basesf = None
+    if resolve_groups > 1:
+        # FINE window bases: the same prologue at sub-segment (seg/G
+        # step) granularity; row t*(S*G) + s*G + g is segment s, group g
+        basesf, _ = _mega_bases(
+            ray_start, ray_dir, k0_ray, tmax, n_seg=n_seg * resolve_groups,
+            seg=seg // resolve_groups, stepsize=stepsize, tile=tile,
+            has_latent=has_latent, grid_sizes=grid_sizes, box_min=box_min,
+            box_size=box_size, mspec=mspec_fine, nxb_tot=nxb_tot, yp=yp)
     rays_packet = jnp.concatenate(
         [ray_start.T, ray_dir.T, k0_ray.T, tmax.T], axis=0)   # (8, R)
 
@@ -661,6 +778,13 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                      memory_space=pltpu.VMEM),                 # rays
     ]
     ins = [k0t, bases, rays_packet]
+    if resolve_groups > 1:
+        # block (t*S+s) of G rows = this segment's group windows
+        in_specs.append(pl.BlockSpec(
+            (resolve_groups, 1, 4),
+            lambda t, s, S=n_seg: (t * S + s, 0, 0),
+            memory_space=pltpu.SMEM))                          # basesf
+        ins.append(basesf)
     if has_latent:
         in_specs.append(_const_spec(slab))
         ins.append(slab)
@@ -699,14 +823,17 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                        slab_shape=(slab.shape if has_latent else None),
                        slab_dtype=table_dtype, n_hidden=len(
                            weights.hidden_w),
-                       early_alpha=early, interpret=interpret)
-    carry = op(k0t, bases, rays_packet, slab, weights, tf_pad)
+                       early_alpha=early,
+                       resolve_groups=resolve_groups,
+                       interpret=interpret)
+    carry = op(k0t, bases, basesf, rays_packet, slab, weights, tf_pad)
     return carry[:4].T
 
 
 def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
                   out_spec, wlist_shapes, has_latent, slab_shape,
-                  slab_dtype, n_hidden, early_alpha=2.0, interpret):
+                  slab_dtype, n_hidden, early_alpha=2.0,
+                  resolve_groups=1, interpret):
     """custom-VJP megakernel op: forward emits the per-(tile, segment)
     incoming carries; backward is one reverse-order megakernel call.
     ``early_alpha < 1.5`` enables the per-tile saturation vote in BOTH
@@ -733,17 +860,24 @@ def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
 
     kernel_bwd = functools.partial(_mega_bwd_kernel, n_seg=n_seg,
                                    early_alpha=early_alpha, **statics)
-    bwd_in_specs = list(in_specs[:3]) + (
-        [in_specs[3]] if has_latent else []) + [
+    n_lead = 3 + (1 if resolve_groups > 1 else 0) \
+        + (1 if has_latent else 0)
+    bwd_in_specs = list(in_specs[:n_lead]) + [
         pl.BlockSpec((1, 8, tile), lambda t, s: (n_seg - 1 - s, 0, t),
                      memory_space=pltpu.VMEM),                # carries
         pl.BlockSpec((8, tile), lambda t, s: (0, t),
                      memory_space=pltpu.VMEM),                # d_out
-    ] + list(in_specs[3 + (1 if has_latent else 0):])
-    # bases must be read at the REVERSED segment index
+    ] + list(in_specs[n_lead:])
+    # bases (and the fine group bases) must be read at the REVERSED
+    # segment index
     bwd_in_specs[1] = pl.BlockSpec(
         (1, 1, 4), lambda t, s: (t * n_seg + (n_seg - 1 - s), 0, 0),
         memory_space=pltpu.SMEM)
+    if resolve_groups > 1:
+        bwd_in_specs[3] = pl.BlockSpec(
+            (resolve_groups, 1, 4),
+            lambda t, s: (t * n_seg + (n_seg - 1 - s), 0, 0),
+            memory_space=pltpu.SMEM)
 
     out_specs = []
     out_shapes = []
@@ -794,28 +928,31 @@ def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
             w_out=d_wout, b_out=d_bout)
         return d_weights, d_tf
 
-    def op(k0t, bases, rays_packet, slab, weights: FusedWeights,
-           tf_pad):
+    def _args(k0t, bases, basesf, rays_packet, slab):
+        return ([k0t, bases, rays_packet]
+                + ([basesf] if resolve_groups > 1 else [])
+                + ([slab] if has_latent else []))
+
+    def op(k0t, bases, basesf, rays_packet, slab,
+           weights: FusedWeights, tf_pad):
         wl = _weight_list(weights, tf_pad)
-        args = ([k0t, bases, rays_packet]
-                + ([slab] if has_latent else []) + wl)
-        return fwd_call(*args)[0]
+        return fwd_call(*_args(k0t, bases, basesf, rays_packet, slab),
+                        *wl)[0]
 
     op = jax.custom_vjp(op)
 
-    def op_fwd(k0t, bases, rays_packet, slab, weights, tf_pad):
+    def op_fwd(k0t, bases, basesf, rays_packet, slab, weights, tf_pad):
         wl = _weight_list(weights, tf_pad)
-        args = ([k0t, bases, rays_packet]
-                + ([slab] if has_latent else []) + wl)
-        out, carries = fwd_call(*args)
-        return out, (k0t, bases, rays_packet, slab, weights, tf_pad,
-                     carries)
+        out, carries = fwd_call(
+            *_args(k0t, bases, basesf, rays_packet, slab), *wl)
+        return out, (k0t, bases, basesf, rays_packet, slab, weights,
+                     tf_pad, carries)
 
     def op_bwd(res, d_out):
-        k0t, bases, rays_packet, slab, weights, tf_pad, carries = res
+        (k0t, bases, basesf, rays_packet, slab, weights, tf_pad,
+         carries) = res
         wl = _weight_list(weights, tf_pad)
-        args = ([k0t, bases, rays_packet]
-                + ([slab] if has_latent else [])
+        args = (_args(k0t, bases, basesf, rays_packet, slab)
                 + [carries, d_out] + wl)
         outs = list(bwd_call(*args))
         if has_latent:
@@ -825,6 +962,7 @@ def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
             d_slab = None
         d_weights, d_tf = _unpack_dw(outs, weights)
         return (jnp.zeros_like(k0t), jnp.zeros_like(bases),
+                (jnp.zeros_like(basesf) if basesf is not None else None),
                 jnp.zeros_like(rays_packet), d_slab, d_weights, d_tf)
 
     op.defvjp(op_fwd, op_bwd)

@@ -1240,6 +1240,84 @@ def test_mega_bucketed_engine_matches_scan_engine():
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("groups", [2, 4])
+def test_mega_grouped_resolve_matches_ungrouped(groups):
+    """Group-windowed boxfeat resolve (resolve_groups): each seg/G-step
+    group resolves against its own FINE certified window -- the trilerp
+    math is identical, so forward AND gradients match the whole-segment
+    resolve exactly (the windows differ, the resolved corners do not)."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    kw = dict(stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+              interpret=True)
+    c1 = np.asarray(mega_trace_dvr(rs, rd, net, bm, bs, tf.tensor,
+                                   **kw))
+    cg = np.asarray(mega_trace_dvr(rs, rd, net, bm, bs, tf.tensor,
+                                   resolve_groups=groups, **kw))
+    np.testing.assert_array_equal(cg, c1)
+
+    def loss(n, g):
+        c = mega_trace_dvr(rs, rd, n, bm, bs, tf.tensor,
+                           differentiable=True, resolve_groups=g, **kw)
+        return jnp.mean(c ** 2)
+
+    g1 = jax.grad(lambda n: loss(n, 1))(net)
+    gg = jax.grad(lambda n: loss(n, groups))(net)
+    for a, b in zip(jax.tree.leaves(gg), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
+def test_mega_grouped_resolve_through_bucketed_plan():
+    """plan_ray_buckets(resolve_groups=G) certifies FINE per-bucket
+    windows and fused_trace_dvr_bucketed(engine='mega',
+    resolve_groups=G) consumes them; output + grads == ungrouped plan."""
+    from fvsrn_tpu.ops.fused_dvr import (block_ray_permutation,
+                                         fused_trace_dvr_bucketed,
+                                         plan_ray_buckets)
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    rs_np = np.asarray(rs)
+    rd_np = np.asarray(rd)
+    perm, _ = block_ray_permutation(16, 16, 8, 8)
+    rs_np, rd_np = rs_np[perm], rd_np[perm]
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    outs = {}
+    grads = {}
+    for groups in (1, 4):
+        plan = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=stepsize,
+                                seg=16, tile=64, n_buckets=2,
+                                grid_sizes=(8, 8, 8),
+                                resolve_groups=groups)
+        if groups > 1:
+            assert len(plan.group_specs_fine) == len(plan.group_specs)
+            for sp, spf in zip(plan.group_specs, plan.group_specs_fine):
+                assert spf.szyc <= sp.szyc and spf.szzc <= sp.szzc
+        kw = dict(plan=plan, stepsize=stepsize, seg=16, tile=64,
+                  enable_early_out=False, latent_mode="boxfeat",
+                  engine="mega", interpret=True)
+        if groups > 1:
+            kw["resolve_groups"] = groups
+        outs[groups] = np.asarray(fused_trace_dvr_bucketed(
+            jnp.asarray(rs_np), jnp.asarray(rd_np), net, bm, bs,
+            tf.tensor, differentiable=False, **kw))
+
+        def loss(n, kw=kw):
+            c = fused_trace_dvr_bucketed(
+                jnp.asarray(rs_np), jnp.asarray(rd_np), n, bm, bs,
+                tf.tensor, differentiable=True, **kw)
+            return jnp.mean(c ** 2)
+
+        grads[groups] = jax.grad(loss)(net)
+    np.testing.assert_array_equal(outs[4], outs[1])
+    for a, b in zip(jax.tree.leaves(grads[4]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
 def test_mega_time_keyframed_grid():
     """Keyframed latent grids through the megakernel: gradients reach
     both bracketing keyframes (pre-lerp happens outside the kernel)."""
