@@ -1126,67 +1126,82 @@ def _mlp_position_grad_T(pack, dv_dy, x, rows_t, fourier, w1pos, w1cos,
             mm(ones, g * wgz) * float(grid_sizes[2]),
         ], axis=0)
     if latent_boxfeat:
-        # boxfeat latent position gradient: the trilerp weight
-        # factorizes per axis, so d feat / d frac_axis reuses the
-        # per-part contractions with one axis' lerp factor replaced by
-        # its +-1 sign (x: reuse m1; y/z: one extra matmul per part)
         aux: BoxfeatAux = rows_t
-        szxc, szyc, szzc, nxb, szycp = latent_boxfeat
-        n = x.shape[1]
-        f32 = jnp.float32
         dlatf = mm(w1lat.T, dpre1)                  # (16, N)
-
-        def xfold(mlist, wvec):
-            acc = jnp.zeros((16, n), f32)
-            for p_ in range(nxb):
-                for rr in range(8):
-                    acc = acc + mlist[p_][rr * 16:(rr + 1) * 16, :] \
-                        * wvec[p_ * 8 + rr:p_ * 8 + rr + 1, :]
-            return acc
-
-        iox = jax.lax.broadcasted_iota(jnp.int32, (nxb * 8, n),
-                                       0).astype(f32)
-        wxg = jnp.where(iox == aux.lx, -1.0, 0.0) \
-            + jnp.where(iox == aux.lx + 1.0, 1.0, 0.0)
-        dffx = xfold(aux.m1, wxg)
-
-        ioy = jax.lax.broadcasted_iota(jnp.int32, (szyc, n),
-                                       0).astype(f32)
-        ioz = jax.lax.broadcasted_iota(jnp.int32, (szzc, n),
-                                       0).astype(f32)
-        wyv = jnp.where(ioy == aux.ly, 1.0 - aux.fy, 0.0) \
-            + jnp.where(ioy == aux.ly + 1.0, aux.fy, 0.0)
-        wzv = jnp.where(ioz == aux.lz, 1.0 - aux.fz, 0.0) \
-            + jnp.where(ioz == aux.lz + 1.0, aux.fz, 0.0)
-        dwy = jnp.where(ioy == aux.ly, -1.0, 0.0) \
-            + jnp.where(ioy == aux.ly + 1.0, 1.0, 0.0)
-        dwz = jnp.where(ioz == aux.lz, -1.0, 0.0) \
-            + jnp.where(ioz == aux.lz + 1.0, 1.0, 0.0)
-        zy_pad = szycp - szzc * szyc
-        zpad = ([jnp.zeros((zy_pad, n), f32)] if zy_pad else [])
-        wzy_dy = jnp.concatenate(
-            [wzv[oz:oz + 1, :] * dwy for oz in range(szzc)] + zpad,
-            axis=0)
-        wzy_dz = jnp.concatenate(
-            [dwz[oz:oz + 1, :] * wyv for oz in range(szzc)] + zpad,
-            axis=0)
-        m2 = [jax.lax.dot_general(aux.lat_parts[p_], wzy_dy,
-                                  (((0,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
-              for p_ in range(nxb)]
-        m3 = [jax.lax.dot_general(aux.lat_parts[p_], wzy_dz,
-                                  (((0,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
-              for p_ in range(nxb)]
-        dffy = xfold(m2, aux.wx)
-        dffz = xfold(m3, aux.wx)
-        ones16 = jnp.ones((1, 16), f32)
-        dx += jnp.concatenate([
-            mm(ones16, dlatf * dffx) * float(grid_sizes[0]),
-            mm(ones16, dlatf * dffy) * float(grid_sizes[1]),
-            mm(ones16, dlatf * dffz) * float(grid_sizes[2]),
-        ], axis=0)
+        dx += _boxfeat_dx(aux, dlatf, latent_boxfeat, grid_sizes,
+                          compute_dtype)
     return dx
+
+
+def _boxfeat_dx(aux: "BoxfeatAux", dlatf, spec_t, grid_sizes,
+                compute_dtype):
+    """Boxfeat latent POSITION gradient: (3, N) = d<dlatf, feat>/d pos01.
+
+    The trilerp weight factorizes per axis, so d feat / d frac_axis
+    reuses the per-part contractions with one axis' lerp factor replaced
+    by its +-1 sign (x: reuse aux.m1; y/z: one extra matmul per part).
+    Shared by the forward-mode normal sweep (:func:`_mlp_position_grad_T`
+    with dlatf = w1lat^T dpre) and the reverse-mode ray-gradient path
+    (dlatf = the latent-feature cotangent d_lat)."""
+    szxc, szyc, szzc, nxb, szycp = spec_t
+    n = dlatf.shape[1]
+    f32 = jnp.float32
+    cd = compute_dtype
+
+    def mm(a, b):
+        return jnp.dot(a.astype(cd), b.astype(cd),
+                       preferred_element_type=f32)
+
+    def xfold(mlist, wvec):
+        acc = jnp.zeros((16, n), f32)
+        for p_ in range(nxb):
+            for rr in range(8):
+                acc = acc + mlist[p_][rr * 16:(rr + 1) * 16, :] \
+                    * wvec[p_ * 8 + rr:p_ * 8 + rr + 1, :]
+        return acc
+
+    iox = jax.lax.broadcasted_iota(jnp.int32, (nxb * 8, n),
+                                   0).astype(f32)
+    wxg = jnp.where(iox == aux.lx, -1.0, 0.0) \
+        + jnp.where(iox == aux.lx + 1.0, 1.0, 0.0)
+    dffx = xfold(aux.m1, wxg)
+
+    ioy = jax.lax.broadcasted_iota(jnp.int32, (szyc, n),
+                                   0).astype(f32)
+    ioz = jax.lax.broadcasted_iota(jnp.int32, (szzc, n),
+                                   0).astype(f32)
+    wyv = jnp.where(ioy == aux.ly, 1.0 - aux.fy, 0.0) \
+        + jnp.where(ioy == aux.ly + 1.0, aux.fy, 0.0)
+    wzv = jnp.where(ioz == aux.lz, 1.0 - aux.fz, 0.0) \
+        + jnp.where(ioz == aux.lz + 1.0, aux.fz, 0.0)
+    dwy = jnp.where(ioy == aux.ly, -1.0, 0.0) \
+        + jnp.where(ioy == aux.ly + 1.0, 1.0, 0.0)
+    dwz = jnp.where(ioz == aux.lz, -1.0, 0.0) \
+        + jnp.where(ioz == aux.lz + 1.0, 1.0, 0.0)
+    zy_pad = szycp - szzc * szyc
+    zpad = ([jnp.zeros((zy_pad, n), f32)] if zy_pad else [])
+    wzy_dy = jnp.concatenate(
+        [wzv[oz:oz + 1, :] * dwy for oz in range(szzc)] + zpad,
+        axis=0)
+    wzy_dz = jnp.concatenate(
+        [dwz[oz:oz + 1, :] * wyv for oz in range(szzc)] + zpad,
+        axis=0)
+    m2 = [jax.lax.dot_general(aux.lat_parts[p_], wzy_dy,
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+          for p_ in range(nxb)]
+    m3 = [jax.lax.dot_general(aux.lat_parts[p_], wzy_dz,
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+          for p_ in range(nxb)]
+    dffy = xfold(m2, aux.wx)
+    dffz = xfold(m3, aux.wx)
+    ones16 = jnp.ones((1, 16), f32)
+    return jnp.concatenate([
+        mm(ones16, dlatf * dffx) * float(grid_sizes[0]),
+        mm(ones16, dlatf * dffy) * float(grid_sizes[1]),
+        mm(ones16, dlatf * dffz) * float(grid_sizes[2]),
+    ], axis=0)
 
 
 def _corner_weight_pack(x, grid_sizes, with_grads: bool = False):

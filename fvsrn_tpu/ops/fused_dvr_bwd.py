@@ -17,10 +17,15 @@ trick of applications/volnet/raytracing.py:168-207,552-619):
   contracted over the sample axis, accumulated across ray-tile programs
   through revisited output blocks (TPU pallas grids execute sequentially).
 
-Not differentiated (v1): ray origins/directions and the trilerp corner
-weights (camera/position gradients) -- use the plain-JAX path for
-camera optimization. Latent-grid gradients flow through the
-``d_rows -> scatter-add -> table -> grid`` chain in XLA.
+Ray-origin/direction (camera) gradients: ``want_ray_grads`` makes
+:func:`bwd_segment_core` emit the per-sample position cotangent
+(MLP-input chain); the megakernel adds the boxfeat trilerp-weight term
+and folds steps into d_ray_start/d_ray_dir (the reference's
+differentiable batched camera, camera.h:15-225) -- see
+``mega_trace_dvr(ray_grads=True)``, oracle-tested in
+tests/test_fused.py. The per-segment scan engine still routes camera
+optimization through the plain path. Latent-grid gradients flow through
+the ``d_rows -> scatter-add -> table -> grid`` chain in XLA.
 """
 from __future__ import annotations
 
@@ -164,7 +169,7 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
     grad_refs = (dfourier_ref, dfdir_ref, dw1pos_ref, dw1dir_ref,
                  dw1cos_ref, dw1sin_ref, dw1lat_ref, db1_ref, tuple(dhw),
                  tuple(dhb), dwout_ref, dbout_ref, dtf_ref)
-    d_lat, dcarry_rows = bwd_segment_core(
+    d_lat, dcarry_rows, _ = bwd_segment_core(
         x=x, dirs=dirs, lat=lat, carry=carry_ref[:], dcarry=dcarry_ref[:],
         tval=tval, kk=kk, tmin=tmin, tmax=tmax,
         weight_refs=weight_refs, grad_refs=grad_refs,
@@ -192,7 +197,8 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
                      has_latent, tf_points, blend_beer, seg, tile,
                      density_min, density_max, stepsize, early_alpha,
                      compute_dtype, has_direction,
-                     latent_boxfeat: bool, fourier_rot=None):
+                     latent_boxfeat: bool, fourier_rot=None,
+                     want_ray_grads: bool = False):
     """Layout-agnostic adjoint of one (ray-tile, segment): forward MLP
     replay, TF replay, blending replay, reverse compositing chain, TF
     control-point gradients, and transposed-weight MLP adjoint with
@@ -571,6 +577,21 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
     if has_latent and lat is not None:
         d_lat = dd[2 * f8b:2 * f8b + lat.shape[0], :]  # (128|16|CL, N)
 
+    # per-sample POSITION cotangent (normalized [0,1]^3 coords) for
+    # camera/ray gradients (reference: the differentiable batched
+    # camera, camera.h:15-225 Parameter<T> grads): the MLP-input chain
+    # only -- the caller adds the latent trilerp-weight term (it owns
+    # the BoxfeatAux) and folds steps into d_ray_start/d_ray_dir.
+    # Masking is inherited: dpre1/d_f are zero on non-contributing
+    # lanes through the gated d_y.
+    d_x_mlp = None
+    d_dirs_mlp = None
+    if want_ray_grads:
+        d_x_mlp = mm(w1pos_ref[:].T, dpre1) + mm(fourier_ref[:].T, d_f)
+        if has_direction:
+            d_dirs_mlp = mm(w1dir_ref[:].T, dpre1) \
+                + mm(fdir_ref[:].T, d_f)
+
     # ALL weight gradients in two sample-axis mega-contractions: an
     # mm_ct costs the full N/128 K-passes on the MXU no matter how
     # narrow its output, so stacking every (cotangent x activation)
@@ -588,7 +609,7 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
 
     cout8 = -(-cout // 8) * 8
     if "wgrad" in _ABLATE:                       # timing-only
-        return d_lat, dcarry_rows
+        return d_lat, dcarry_rows, (d_x_mlp, d_dirs_mlp)
     # A: lhs [d_y | dpre_1.. | dpre1 | d_f], cols [hs_0.. hs_n | x+dirs]
     lhs_a = jnp.concatenate(
         [pad8(d_y)] + dpres + [dpre1, pad8(d_f)], axis=0)
@@ -621,7 +642,7 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
             dw1lat_ref[:] += mm_ct(dpre1, lat)
     dw1cos_ref[:] += gb[:, 0:fcount]
     dw1sin_ref[:] += gb[:, f8b:f8b + fcount]
-    return d_lat, dcarry_rows
+    return d_lat, dcarry_rows, (d_x_mlp, d_dirs_mlp)
 
 
 def _emit_dlat(d_lat, wrep, oh, bf_aux, rows_ref, *, dlat_ref, dslot_ref,

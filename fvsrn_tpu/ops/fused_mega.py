@@ -277,8 +277,10 @@ def _mega_fwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
                      tf_mode: str = "piecewise", tf_pre_rows: int = 0,
                      iso_value=None,
                      resolve_groups: int = 1,
-                     mspec_fine: Optional[MegaSpec] = None):
-    """One (ray-tile, segment) program of the megakernel forward."""
+                     mspec_fine: Optional[MegaSpec] = None,
+                     want_ray_grads: bool = False):
+    """One (ray-tile, segment) program of the megakernel forward
+    (``want_ray_grads`` only affects the backward)."""
     if resolve_groups > 1:
         basesf_ref = refs[0]
         refs = refs[1:]
@@ -383,7 +385,8 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
                      box_min: tuple, box_size: tuple,
                      compute_dtype, has_direction: bool,
                      resolve_groups: int = 1,
-                     mspec_fine: Optional[MegaSpec] = None):
+                     mspec_fine: Optional[MegaSpec] = None,
+                     want_ray_grads: bool = False):
     """Backward of one (ray-tile, segment) program, segments visited in
     REVERSE (the incoming-carry cotangent chains through the dcarry
     scratch). Latent-grid gradients accumulate into the dtab scratch
@@ -414,7 +417,12 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
     dwout_ref = outs[8 + 2 * n_hidden]
     dbout_ref = outs[8 + 2 * n_hidden + 1]
     dtf_ref = outs[8 + 2 * n_hidden + 2]
-    scratch = outs[8 + 2 * n_hidden + 3:]
+    k_out = 8 + 2 * n_hidden + 3
+    drays_ref = None
+    if want_ray_grads:
+        drays_ref = outs[k_out]
+        k_out += 1
+    scratch = outs[k_out:]
     dcarry_s = scratch[0]
     dtab_acc = scratch[1] if has_latent else None
 
@@ -443,6 +451,8 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
     @pl.when(si == 0)
     def _seed():
         dcarry_s[:] = dout_ref[:]
+        if want_ray_grads:
+            drays_ref[:] = jnp.zeros_like(drays_ref)
 
     run = bases_ref[0, 0, 3] > 0
     if early_alpha < 1.5:
@@ -477,7 +487,7 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
         weight_refs = (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref,
                        w1cos_ref, w1sin_ref, w1lat_ref, b1_ref,
                        tuple(hw), tuple(hb), wout_ref, bout_ref, tf_ref)
-        d_lat, dcarry_rows = bwd_segment_core(
+        d_lat, dcarry_rows, d_ray_mlp = bwd_segment_core(
             x=x, dirs=dirs, lat=lat, carry=carries_ref[0],
             dcarry=dcarry_s[:], tval=tval, kk=kk,
             tmin=rays[6:7, :], tmax=rays[7:8, :],
@@ -492,9 +502,52 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             stepsize=stepsize, early_alpha=2.0,
             compute_dtype=compute_dtype, has_direction=has_direction,
             latent_boxfeat=True,
-            fourier_rot=(seg, _step_delta(rays, stepsize, box_size)))
+            fourier_rot=(seg, _step_delta(rays, stepsize, box_size)),
+            want_ray_grads=want_ray_grads)
         dcarry_s[:] = dcarry_rows
         cd = compute_dtype
+        if want_ray_grads:
+            # reverse-mode ray gradients: fold the per-sample position
+            # cotangent (MLP-input chain from bwd_segment_core + the
+            # boxfeat trilerp-weight term) over the segment's steps into
+            # d_ray_start / d_ray_dir rows (the fused analog of the
+            # reference's differentiable camera, camera.h:15-225):
+            #   x = (start + t*dir - bmin)/bsize
+            #   d_start = sum_k d_x_k / bsize
+            #   d_dir   = sum_k d_x_k * t_k / bsize (+ direction input)
+            from .fused_dvr import _boxfeat_dx
+            d_x, d_dirs = d_ray_mlp
+            if has_latent and resolve_groups > 1:
+                ngr = d_lat.shape[1] // resolve_groups
+                d_x = d_x + jnp.concatenate(
+                    [_boxfeat_dx(auxs[g], d_lat[:, g * ngr:(g + 1) * ngr],
+                                 mspec_fine.wspec, grid_sizes, cd)
+                     for g in range(resolve_groups)], axis=1)
+            elif has_latent:
+                d_x = d_x + _boxfeat_dx(bf_aux, d_lat, mspec.wspec,
+                                        grid_sizes, cd)
+            rows_out = []
+            for c in range(3):
+                acc = jnp.zeros((1, tile), f32)
+                for j in range(seg):
+                    acc = acc + d_x[c:c + 1, j * tile:(j + 1) * tile]
+                rows_out.append(acc * (1.0 / box_size[c]))
+            for c in range(3):
+                acc = jnp.zeros((1, tile), f32)
+                for j in range(seg):
+                    sl = (slice(c, c + 1),
+                          slice(j * tile, (j + 1) * tile))
+                    acc = acc + d_x[sl] * tval[0:1,
+                                               j * tile:(j + 1) * tile]
+                acc = acc * (1.0 / box_size[c])
+                if d_dirs is not None:
+                    for j in range(seg):
+                        acc = acc + d_dirs[c:c + 1,
+                                           j * tile:(j + 1) * tile]
+                rows_out.append(acc)
+            rows_out.append(jnp.zeros((2, tile), f32))
+            drays_ref[:] = drays_ref[:] + jnp.concatenate(rows_out,
+                                                          axis=0)
         if has_latent and "dtab" in _fd._ABLATE:  # timing-only fake
             pass
         elif has_latent and resolve_groups > 1:
@@ -555,10 +608,12 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
 def _mega_statics(*, weights, net, mspec, grid_sizes, tf_points,
                   blend_mode, seg, tile, density_min, density_max,
                   stepsize, bmin_t, bsize_t, compute_dtype, has_latent,
-                  resolve_groups=1, mspec_fine=None):
+                  resolve_groups=1, mspec_fine=None,
+                  want_ray_grads=False):
     return dict(
         resolve_groups=resolve_groups,
         mspec_fine=mspec_fine,
+        want_ray_grads=want_ray_grads,
         n_hidden=len(weights.hidden_w),
         activation=net.layers[0].activation,
         act_param=net.layers[0].activation_param,
@@ -612,6 +667,7 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                    iso_value=None,
                    resolve_groups: int = 1,
                    subbox_fine=0,
+                   ray_grads: bool = False,
                    interpret: bool = False) -> Array:
     """Fused DVR through an SRN as ONE pallas_call (see module doc).
 
@@ -744,7 +800,8 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         density_min=density_min, density_max=density_max,
         stepsize=stepsize, bmin_t=bmin_t, bsize_t=bsize_t,
         compute_dtype=compute_dtype, has_latent=has_latent,
-        resolve_groups=resolve_groups, mspec_fine=mspec_fine)
+        resolve_groups=resolve_groups, mspec_fine=mspec_fine,
+        want_ray_grads=(ray_grads and differentiable))
     statics.update(need_normals=need_normals,
                    brdf=_brdf_tuple(brdf, need_normals),
                    tf_mode=tf_mode, tf_pre_rows=tf_pre_rows,
@@ -825,6 +882,7 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                            weights.hidden_w),
                        early_alpha=early,
                        resolve_groups=resolve_groups,
+                       want_ray_grads=(ray_grads and differentiable),
                        interpret=interpret)
     carry = op(k0t, bases, basesf, rays_packet, slab, weights, tf_pad)
     return carry[:4].T
@@ -833,7 +891,7 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
 def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
                   out_spec, wlist_shapes, has_latent, slab_shape,
                   slab_dtype, n_hidden, early_alpha=2.0,
-                  resolve_groups=1, interpret):
+                  resolve_groups=1, want_ray_grads=False, interpret):
     """custom-VJP megakernel op: forward emits the per-(tile, segment)
     incoming carries; backward is one reverse-order megakernel call.
     ``early_alpha < 1.5`` enables the per-tile saturation vote in BOTH
@@ -893,6 +951,10 @@ def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
                      memory_space=pltpu.SMEM)]                # d_tf
     out_shapes += [jax.ShapeDtypeStruct(w.shape, dtype)
                    for w in wlist_shapes]
+    if want_ray_grads:
+        out_specs.append(pl.BlockSpec((8, tile), lambda t, s: (0, t),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((8, r_total), dtype))
     scratch = [pltpu.VMEM((8, tile), dtype)]                  # dcarry
     if has_latent:
         scratch.append(pltpu.VMEM(slab_shape, dtype))         # dtab
@@ -960,10 +1022,15 @@ def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
             outs = outs[1:]
         else:
             d_slab = None
+        if want_ray_grads:
+            d_rays = outs[-1]
+            outs = outs[:-1]
+        else:
+            d_rays = jnp.zeros_like(rays_packet)
         d_weights, d_tf = _unpack_dw(outs, weights)
         return (jnp.zeros_like(k0t), jnp.zeros_like(bases),
                 (jnp.zeros_like(basesf) if basesf is not None else None),
-                jnp.zeros_like(rays_packet), d_slab, d_weights, d_tf)
+                d_rays, d_slab, d_weights, d_tf)
 
     op.defvjp(op_fwd, op_bwd)
     return op

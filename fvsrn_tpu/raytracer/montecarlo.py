@@ -76,29 +76,90 @@ class _DeltaResult(NamedTuple):
     hit_normal: Array    # (..., 3)
 
 
-def _ray_keys(key: Array, ray_id: Array):
-    flat = ray_id.reshape(-1)
-    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, flat)
+_TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
 
 
-def ray_uniform(key: Array, ray_id: Array, dtype, minval=0.0) -> Array:
-    """Counter-based per-ray uniform draw (the role of the reference's
-    per-thread cuRAND XORWOW, renderer_sampler_curand.cuh:21-40): the
-    value for a ray depends only on (key, ray_id), so results are
-    IDENTICAL under any sharding/batching of the ray set -- the
-    multi-host determinism contract of the MC evaluator
-    (tests/test_mc.py, tests/test_parallel.py). Returns ray_id.shape+(1,)."""
-    ks = _ray_keys(key, ray_id)
-    u = jax.vmap(lambda k: jax.random.uniform(k, (), dtype,
-                                              minval=minval))(ks)
-    return u.reshape(ray_id.shape + (1,))
+def _threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32, 20 rounds (Salmon et al. 2011 -- the same family
+    JAX's PRNG uses), hand-vectorized over u32 counter vectors.
+
+    Why not ``vmap(fold_in)`` + ``vmap(uniform)``: that spelling chains
+    TWO full threefry blocks per draw through jax's typed-key machinery
+    and compiles to something orders of magnitude slower inside a
+    ``while_loop`` (measured: 256 tracking iterations of key draws at
+    16k rays did not finish in 400 s; this form is microseconds per
+    draw). One block of 20 rounds of add/rotate/xor on (N,) u32 lanes
+    is ~100 VPU ops per draw."""
+    ks0 = k0
+    ks1 = k1
+    ks2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    ks = (ks0, ks1, ks2)
+    x0 = x0 + ks0
+    x1 = x1 + ks1
+
+    def rot(v, r):
+        return (v << jnp.uint32(r)) | (v >> jnp.uint32(32 - r))
+
+    for block in range(5):
+        for i in range(4):
+            x0 = x0 + x1
+            x1 = rot(x1, _TF_ROT[(block % 2) * 4 + i])
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(block + 1) % 3]
+        x1 = x1 + ks[(block + 2) % 3] + jnp.uint32(block + 1)
+    return x0, x1
+
+
+def _ray_bits2(key: Array, ray_id: Array, salt: int = 0):
+    """Two u32 streams per ray, a pure function of (key, ray_id, salt):
+    the sharding-invariance contract (a sharded trace with GLOBAL ray
+    ids reproduces the single-device draws bitwise, whatever the local
+    batch shapes are)."""
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    rid = ray_id.reshape(-1).astype(jnp.uint32)
+    return _threefry2x32(kd[0], kd[1] + jnp.uint32(salt), rid,
+                         jnp.zeros_like(rid))
+
+
+def _bits_to_unit(bits, dtype):
+    # 24 high bits -> [0, 1) (f32 mantissa-exact)
+    return (bits >> jnp.uint32(8)).astype(dtype) * dtype(1.0 / (1 << 24))
+
+
+def ray_uniform(key: Array, ray_id: Array, dtype, minval=0.0,
+                salt=0) -> Array:
+    """Counter-based per-ray uniform draw in [minval, 1) (the role of the
+    reference's per-thread cuRAND XORWOW, renderer_sampler_curand.cuh:
+    21-40): the value for a ray depends only on (key, ray_id, salt), so
+    results are IDENTICAL under any sharding/batching of the ray set --
+    the multi-host determinism contract of the MC evaluator
+    (tests/test_mc.py, tests/test_parallel.py) -- AND independent of how
+    many tracking steps are batched per round (``salt`` = the step/draw
+    counter). Returns ray_id.shape+(1,)."""
+    b0, _ = _ray_bits2(key, ray_id, salt=salt)
+    u = _bits_to_unit(b0, jnp.dtype(dtype).type)
+    if minval:
+        u = u * (1.0 - minval) + minval
+    return u.astype(dtype).reshape(ray_id.shape + (1,))
 
 
 def ray_normal3(key: Array, ray_id: Array, dtype) -> Array:
-    """Per-ray 3D standard normal (see :func:`ray_uniform`)."""
-    ks = _ray_keys(key, ray_id)
-    g = jax.vmap(lambda k: jax.random.normal(k, (3,), dtype))(ks)
-    return g.reshape(ray_id.shape + (3,))
+    """Per-ray 3D standard normal via Box-Muller on two counter draws
+    (see :func:`ray_uniform`)."""
+    b0, b1 = _ray_bits2(key, ray_id)
+    c0, c1 = _ray_bits2(key, ray_id, salt=1)
+    tiny = 1e-12
+    u1 = jnp.maximum(_bits_to_unit(b0, np.float32), tiny)
+    u2 = _bits_to_unit(b1, np.float32)
+    u3 = jnp.maximum(_bits_to_unit(c0, np.float32), tiny)
+    u4 = _bits_to_unit(c1, np.float32)
+    r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+    r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+    a1 = 2.0 * np.pi * u2
+    a2 = 2.0 * np.pi * u4
+    g = jnp.stack([r1 * jnp.cos(a1), r1 * jnp.sin(a1),
+                   r2 * jnp.cos(a2)], axis=-1)
+    return g.astype(dtype).reshape(ray_id.shape + (3,))
 
 
 def _default_ray_id(lead) -> Array:
@@ -109,66 +170,111 @@ def _default_ray_id(lead) -> Array:
 def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
                    volume: Any, tf: Any, config: RayEvaluationMonteCarlo,
                    need_normals: bool = True, b: int = 0,
-                   ray_id: Optional[Array] = None) -> _DeltaResult:
+                   ray_id: Optional[Array] = None,
+                   sampler: Any = None,
+                   steps_per_round: int = 1) -> _DeltaResult:
     """Woodcock/delta tracking (reference: renderer_ray_evaluation_
     monte_carlo.cuh:75-153 ``deltaTracking``): free-flight sampling against
     the majorant ``max_absorption``; a tentative collision is real with
     probability sigma(x)/majorant. Walk starts at ``ray_start`` (t=0) and
     terminates on leaving the volume (t_out=0) or on a real collision
-    (t_out=t)."""
+    (t_out=t).
+
+    ``sampler``: optional ``(position, direction) -> (density, inside)``
+    replacing ``volume.eval_density`` -- the hook for the FUSED SRN
+    sample evaluator (:func:`fvsrn_tpu.ops.fused_eval.make_fused_eval`),
+    the TPU counterpart of the reference's in-tracking-loop tensor-core
+    MLP (renderer_ray_evaluation_monte_carlo.cuh:59-317 +
+    renderer_volume_tensorcores.cuh:736).
+
+    ``steps_per_round``: tracking steps evaluated per loop round as ONE
+    sample batch. Legal because free-flight distances are pure PRNG
+    (independent of the densities): t_j = cumsum of exponentials, so K
+    tentative positions are known upfront and only the FIRST
+    exit/acceptance event per ray is kept. Every draw is a pure function
+    of (key, ray_id, step index), so the walk is IDENTICAL for any K
+    (tested). Measured on v5e at 16k rays: K=1 is fastest (the while
+    round is eval-bound, not dispatch-bound, and K>1 pays for evals
+    past each ray's event); the knob exists for parts with higher
+    per-round overhead.
+
+    Normals are computed LAZILY: unless the TF consumes gradients per
+    sample (gradient-scaled gaussian, ``scale_with_gradient``), the
+    normal is evaluated ONCE at the recorded interaction point after
+    the walk instead of at every tentative collision -- identical
+    result (the normal is a deterministic function of position), and it
+    removes the per-iteration ``eval_normal`` (for adjoint-mode SRNs, a
+    full extra forward+backward per tracking step)."""
     dtype = ray_start.dtype
     lead = ray_start.shape[:-1]
     if ray_id is None:
         ray_id = _default_ray_id(lead)
+    K = max(1, int(steps_per_round))
     inv_major = 1.0 / config.max_absorption
     inv_range = 1.0 / (config.density_max - config.density_min)
+    tf_needs_normal = bool(getattr(tf, "scale_with_gradient", False))
+    inloop_normals = need_normals and tf_needs_normal
+
+    def eval_density(position):
+        # position: (K,) + lead + (3,); direction broadcasts over K
+        if sampler is not None:
+            value, inside = sampler(position, ray_dir)
+        else:
+            value, inside = volume.eval_density(position, ray_dir, b=b)
+        return value[..., None], inside[..., None]
 
     def cond(state):
-        it, _key, valid, *_ = state
+        it, valid, *_ = state
         return (it < config.max_iterations) & jnp.any(valid)
 
     def body(state):
-        it, key, valid, tcur, t_out, hit_pos, hit_col, hit_nrm = state
-        key, k1, k2 = jax.random.split(key, 3)
-        u1 = ray_uniform(k1, ray_id, dtype, minval=1e-10)
-        tcur = tcur - jnp.log(u1) * inv_major
-        position = ray_start + ray_dir * tcur
-
-        value, inside = volume.eval_density(position, ray_dir, b=b)
-        value = value[..., None]
-        inside = inside[..., None]
-
-        # exited the volume -> terminate with no interaction
-        exit_now = valid & ~inside
-        hit_pos = jnp.where(exit_now, position, hit_pos)
-        t_out = jnp.where(exit_now, 0.0, t_out)
-        valid = valid & inside
-
-        require = valid & (value >= config.density_min)
-        if need_normals:
+        it, valid, tcur, t_out, hit_pos, hit_col, hit_nrm = state
+        # K free-flight steps drawn at once; draw index = global step
+        u1 = jnp.stack([
+            ray_uniform(key, ray_id, dtype, minval=1e-10,
+                        salt=2 * (it + j)) for j in range(K)], axis=0)
+        u2 = jnp.stack([
+            ray_uniform(key, ray_id, dtype, salt=2 * (it + j) + 1)
+            for j in range(K)], axis=0)
+        t_j = tcur[None] - jnp.cumsum(jnp.log(u1), axis=0) * inv_major
+        position = ray_start[None] + ray_dir[None] * t_j   # (K,)+lead+(3,)
+        value, inside = eval_density(position)
+        if inloop_normals:
             normal = volume.eval_normal(position, ray_dir, b=b)
         else:
             normal = jnp.zeros_like(position)
         density2 = (value - config.density_min) * inv_range
         color = tf.eval_normalized(jnp.clip(density2[..., 0], 0.0, 1.0),
                                    normal, None, 1.0, b=b)
-        u2 = ray_uniform(k2, ray_id, dtype)
-        real_hit = require & (color[..., 3:4] * inv_major > u2)
-        hit_pos = jnp.where(real_hit, position, hit_pos)
-        hit_col = jnp.where(real_hit, color, hit_col)
-        hit_nrm = jnp.where(real_hit, normal, hit_nrm)
-        t_out = jnp.where(real_hit, tcur, t_out)
-        valid = valid & ~real_hit
-        return (it + 1, key, valid, tcur, t_out, hit_pos, hit_col, hit_nrm)
+
+        walking = valid
+        for j in range(K):
+            # exit check precedes acceptance at the same step
+            exit_now = walking & ~inside[j]
+            hit_pos = jnp.where(exit_now, position[j], hit_pos)
+            t_out = jnp.where(exit_now, 0.0, t_out)
+            walking = walking & inside[j]
+            require = walking & (value[j] >= config.density_min)
+            real_hit = require & (color[j][..., 3:4] * inv_major > u2[j])
+            hit_pos = jnp.where(real_hit, position[j], hit_pos)
+            hit_col = jnp.where(real_hit, color[j], hit_col)
+            hit_nrm = jnp.where(real_hit, normal[j], hit_nrm)
+            t_out = jnp.where(real_hit, t_j[j], t_out)
+            walking = walking & ~real_hit
+        tcur = jnp.where(walking, t_j[K - 1], tcur)
+        return (it + K, walking, tcur, t_out, hit_pos, hit_col, hit_nrm)
 
     zero3 = jnp.zeros(lead + (3,), dtype)
-    state = (jnp.int32(0), key,
+    state = (jnp.int32(0),
              jnp.ones(lead + (1,), bool),
              jnp.zeros(lead + (1,), dtype),       # tcurrent
              jnp.zeros(lead + (1,), dtype),       # t_out
              zero3, jnp.zeros(lead + (4,), dtype), zero3)
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, t_out, hit_pos, hit_col, hit_nrm = state
+    _, _, _, t_out, hit_pos, hit_col, hit_nrm = state
+    if need_normals and not inloop_normals:
+        nrm = volume.eval_normal(hit_pos, ray_dir, b=b)
+        hit_nrm = jnp.where(t_out > 0, nrm, hit_nrm)
     return _DeltaResult(t_out, hit_pos, hit_col, hit_nrm)
 
 
@@ -219,10 +325,29 @@ def eval_background(ray_start: Array, ray_dir: Array,
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+def make_mc_sampler(volume: Any, *, tile: int = 2048,
+                    table_dtype=jnp.float32, interpret: bool = False):
+    """Fused density sampler for :func:`trace_mc` / :func:`delta_tracking`
+    over a ``VolumeInterpolationNetwork`` (BASELINE config 5's MC-eval
+    arm off the plain path): one pallas_call per tracking round instead
+    of per-sample plain-JAX MLP + XLA grid_sample gathers. Reference
+    analog: the tensor-core MLP inside the delta-tracking kernel
+    (renderer_ray_evaluation_monte_carlo.cuh + tensorcores.cuh:736)."""
+    from ..ops.fused_eval import make_fused_eval
+    return make_fused_eval(
+        volume.network, np.asarray(volume.box_min),
+        np.asarray(volume.box_size), time=float(volume.time),
+        ensemble=float(volume.ensemble), tile=tile,
+        table_dtype=table_dtype, interpret=interpret)
+
+
 def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
              tf: Any, phase: Any, config: RayEvaluationMonteCarlo,
              b: int = 0,
-             ray_id: Optional[Array] = None) -> RayEvaluationOutput:
+             ray_id: Optional[Array] = None,
+             sampler: Any = None,
+             use_fused: bool = False,
+             fused_kwargs: Optional[dict] = None) -> RayEvaluationOutput:
     """Full path-traced evaluation with next-event estimation to the
     spherical light (reference: cuh:205-313 ``eval``).
 
@@ -230,11 +355,24 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
     counter -- all draws depend only on (key, ray_id), so a sharded
     trace with global ray ids reproduces the single-device trace to
     1-ULP elementwise rounding (multi-host determinism for the allclose
-    gates, SURVEY §7; tests/test_parallel.py)."""
+    gates, SURVEY §7; tests/test_parallel.py).
+
+    ``use_fused=True`` (network volumes) routes every delta-tracking
+    density evaluation through the fused sample evaluator
+    (:func:`make_mc_sampler`); the PRNG stream is unchanged, so hit
+    decisions match the plain oracle except on knife-edge draws where
+    the kernel's polynomial trig (~1e-6) flips an acceptance. Measured
+    on v5e at 128^2: the fused sampler wins ~1.5x end-to-end; the
+    larger win for SRN MC eval is structural and always on -- normals
+    are DEFERRED to the recorded interaction point (see
+    :func:`delta_tracking`), removing the per-tentative-collision
+    ``jax.grad`` MLP eval that dominated the per-step cost."""
     dtype = ray_start.dtype
     lead = ray_start.shape[:-1]
     if ray_id is None:
         ray_id = _default_ray_id(lead)
+    if sampler is None and use_fused:
+        sampler = make_mc_sampler(volume, **(fused_kwargs or {}))
     tmin, tmax = intersect_aabb(ray_start, ray_dir,
                                 jnp.asarray(volume.box_min, dtype),
                                 jnp.asarray(volume.box_size, dtype))
@@ -252,7 +390,8 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
     for bounce in range(config.num_bounces + 1):
         key, k_walk, k_light, k_shadow, k_dir = jax.random.split(key, 5)
         hit = delta_tracking(k_walk, position, direction, volume, tf,
-                             config, b=b, ray_id=ray_id)
+                             config, b=b, ray_id=ray_id,
+                             sampler=sampler)
         any_hit = hit.t_out > 0
         if bounce == 0:
             out_alpha = jnp.where(valid, any_hit.astype(dtype), out_alpha)
@@ -273,7 +412,7 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
         p = phase.prob(direction, light_dir, hit.hit_position, b=b)[..., None]
         shadow = delta_tracking(k_shadow, hit.hit_position, light_dir,
                                 volume, tf, config, need_normals=False,
-                                b=b, ray_id=ray_id)
+                                b=b, ray_id=ray_id, sampler=sampler)
         unoccluded = shadow.t_out <= 0
         contrib = beta * (p * config.light_intensity)
         emission = jnp.where(any_hit & valid & unoccluded,

@@ -1563,3 +1563,95 @@ def test_mega_iso_matches_lattice_plain():
                                np.asarray(ref.depth), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.color),
                                np.asarray(ref.color), atol=1e-4)
+
+
+def test_mega_ray_gradients_match_plain():
+    """ray_grads=True: d(loss)/d(ray_start, ray_dir) through the fused
+    megakernel backward vs jax.grad of the plain lattice oracle -- the
+    fused analog of the reference's differentiable batched camera
+    (camera.h:15-225 Parameter<T> grads). Weight/TF/latent grads must be
+    unchanged by the flag."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    tgt = np.random.default_rng(1).random((rs.shape[0], 4)) \
+        .astype(np.float32)
+    # certify on concrete rays up front: under jax.grad the rays are
+    # traced, and the footprint certificate is camera-static anyway
+    from fvsrn_tpu.ops.fused_dvr import certify_boxfeat
+    spec = certify_boxfeat(np.asarray(rs), np.asarray(rd), (8, 8, 8),
+                           bm, bs, stepsize=stepsize, max_steps=steps,
+                           seg=16, tile=64)
+
+    def loss_mega(rs_, rd_, net_):
+        c = mega_trace_dvr(
+            rs_, rd_, net_, bm, bs, tf.tensor, stepsize=stepsize,
+            max_steps=steps, seg=16, tile=64, enable_early_out=False,
+            differentiable=True, ray_grads=True, subbox=spec,
+            interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(rs_, rd_, net_):
+        out = _plain_lattice(net_, tf, rs_, rd_, stepsize, steps,
+                             False).color
+        return jnp.mean((out - tgt) ** 2)
+
+    g_f = jax.grad(loss_mega, argnums=(0, 1, 2))(rs, rd, net)
+    g_p = jax.grad(loss_plain, argnums=(0, 1, 2))(rs, rd, net)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_p[0]),
+                               atol=3e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_p[1]),
+                               atol=3e-5, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(g_f[2]), jax.tree.leaves(g_p[2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_mega_ray_gradients_camera_matrix():
+    """d(loss)/d(camera matrix) composed through ray generation + the
+    fused megakernel vs jax.grad of the plain lattice oracle (the
+    screen-space camera-optimization parity item). An FD check is NOT
+    appropriate here: lattice-aligned sampling makes the loss a
+    staircase in camera position (k0 = ceil(tmin/h) jumps), so central
+    differences at any practical eps measure the jumps, not the a.e.
+    derivative both paths compute; the oracle comparison is exact."""
+    from fvsrn_tpu.camera import camera_matrix, generate_rays
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, _rs, _rd = _scene(True, seed=9)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    cam = CameraOnASphere.make(pitch=0.25, yaw=0.7, distance=1.6)
+    m0 = jnp.asarray(camera_matrix(cam))
+    from fvsrn_tpu.ops.fused_dvr import certify_boxfeat
+    s0, d0 = generate_rays(np.asarray(m0), 8, 8,
+                           fov_y_radians=0.7853981633974483)
+    spec = certify_boxfeat(
+        np.asarray(s0).reshape(-1, 3), np.asarray(d0).reshape(-1, 3),
+        (8, 8, 8), bm, bs, stepsize=stepsize, max_steps=steps,
+        seg=16, tile=64)
+
+    def loss(m):
+        s, d = generate_rays(m, 8, 8,
+                             fov_y_radians=0.7853981633974483)
+        c = mega_trace_dvr(
+            s.reshape(-1, 3), d.reshape(-1, 3), net, bm, bs, tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            enable_early_out=False, differentiable=True,
+            ray_grads=True, subbox=spec, interpret=True)
+        return jnp.mean(c ** 2)
+
+    def loss_plain(m):
+        s, d = generate_rays(m, 8, 8,
+                             fov_y_radians=0.7853981633974483)
+        out = _plain_lattice(net, tf, s.reshape(-1, 3),
+                             d.reshape(-1, 3), stepsize, steps,
+                             False).color
+        return jnp.mean(out ** 2)
+
+    g_f = np.asarray(jax.grad(loss)(m0))
+    g_p = np.asarray(jax.grad(loss_plain)(m0))
+    assert np.abs(g_p).max() > 1e-4, "oracle camera gradient vanished"
+    np.testing.assert_allclose(g_f, g_p, atol=3e-5, rtol=1e-3)
