@@ -69,11 +69,34 @@ def make_dp_world_train_step(mesh: Mesh,
     return step
 
 
+def _pmean_in_bwd(axis: str):
+    """Identity whose BACKWARD applies ``pmean`` to the cotangent: wrap a
+    parameter in the loss function and its gradient's all-reduce is
+    issued the moment the backward produces that cotangent -- inside the
+    backward stream, not after ``value_and_grad`` returns -- so the
+    scheduler can overlap the collective with the rest of the backward
+    march (SURVEY §2.3's "psum overlapped with the backward"; verified
+    on the HLO schedule by tools/show_overlap.py)."""
+    @jax.custom_vjp
+    def f(x):
+        return x
+
+    def fwd(x):
+        return x, None
+
+    def bwd(_, g):
+        return (jax.lax.pmean(g, axis),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def make_dp_screen_train_step(mesh: Mesh, tf, config, loss,
                               optimizer: optax.GradientTransformation,
                               *, width: int, height: int, max_steps: int,
                               axis: str = "data", use_fused: bool = False,
-                              fused_kwargs=None):
+                              fused_kwargs=None,
+                              overlap_grads: bool = False):
     """Data-parallel SCREEN-space train step (BASELINE config 4).
 
     The camera minibatch (C, H*W, ...) is sharded over ``axis`` on the
@@ -83,13 +106,28 @@ def make_dp_screen_train_step(mesh: Mesh, tf, config, loss,
     psum-averaged (equal shard sizes -> global mean gradient). Requires
     cameras-per-batch to be a multiple of the axis size.
 
+    ``overlap_grads``: reduce the LATENT-GRID gradient (the dominant
+    tensor: the 32^3 x 16ch flagship grid outweighs the MLP ~40x) inside
+    the backward via :func:`_pmean_in_bwd`, so its all-reduce rides ICI
+    concurrently with the remaining backward (weight-grad contractions,
+    other buckets); the other leaves keep the trailing pmean. Bitwise
+    semantics are unchanged (tested vs overlap_grads=False).
+
     Returns step(network, opt_state, rs, rd, targets) ->
     (network, opt_state, loss).
     """
     from ..train.screen import evaluate_screen
 
+    pmean_bwd = _pmean_in_bwd(axis)
+
     def sharded_grads(net, rs, rd, tgt):
+        wrap = (overlap_grads and net.latent is not None
+                and net.latent.static_grid is not None)
+
         def local_loss(n):
+            if wrap:
+                n = n.replace(latent=n.latent.replace(
+                    static_grid=pmean_bwd(n.latent.static_grid)))
             total, _ = evaluate_screen(
                 n, rs, rd, tgt, tf, config, loss, max_steps,
                 width, height, use_fused=use_fused,
@@ -98,8 +136,18 @@ def make_dp_screen_train_step(mesh: Mesh, tf, config, loss,
 
         total, grads = jax.value_and_grad(local_loss)(net)
         # check_vma=False disables the automatic psum of the replicated
-        # param cotangent -- reduce explicitly
-        grads = jax.lax.pmean(grads, axis)
+        # param cotangent -- reduce explicitly. The latent-grid leaf is
+        # already reduced in the backward when overlapping; skip its
+        # (idempotent but wasteful) second all-reduce.
+        if wrap:
+            lat_grad = grads.latent.static_grid
+            grads = grads.replace(latent=grads.latent.replace(
+                static_grid=None))
+            grads = jax.lax.pmean(grads, axis)
+            grads = grads.replace(latent=grads.latent.replace(
+                static_grid=lat_grad))
+        else:
+            grads = jax.lax.pmean(grads, axis)
         total = jax.lax.pmean(total, axis)
         return total, grads
 

@@ -334,3 +334,66 @@ def test_config5_time_varying_mc_endtoend(rng):
     got_mc = np.asarray(sharded_mc(rs, rd, rid))
     np.testing.assert_allclose(got_mc, ref_mc, atol=2e-6)
     assert np.isfinite(ref_mc).all()
+
+
+def test_dp_screen_overlap_grads_equal():
+    """overlap_grads=True (latent psum issued in the backward via
+    _pmean_in_bwd) produces the SAME updated parameters as the trailing
+    pmean -- the overlap spelling is a scheduling hint, not a semantics
+    change."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fvsrn_tpu.camera import CameraOnASphere, generate_rays
+    from fvsrn_tpu.models.latent import LatentSpace
+    from fvsrn_tpu.models.srn import SceneRepresentationNetwork
+    from fvsrn_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from fvsrn_tpu.parallel.train_step import make_dp_screen_train_step
+    from fvsrn_tpu.raytracer.dvr import RayEvaluationSteppingDvr
+    from fvsrn_tpu.train.losses import LossNetScreen
+    from fvsrn_tpu.train.optimizer import make_optimizer
+    from fvsrn_tpu.transfer import TransferFunctionPiecewiseLinear
+
+    n = min(4, len(jax.devices()))
+    mesh = make_mesh(n)
+    rng = np.random.default_rng(0)
+    latent = LatentSpace(static_grid=(
+        rng.standard_normal((4, 8, 8, 8)) * 0.1).astype(np.float32))
+    net = SceneRepresentationNetwork.make(
+        layers="16:16", activation="SnakeAlt:2", num_fourier=4,
+        output_mode="density:direct", latent=latent, seed=2)
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[1.0, 0.3, 0.1], [0.3, 1.0, 0.5]], opacity=[0.0, 20.0],
+        positions=[0.0, 1.0])
+    cfg = RayEvaluationSteppingDvr.make(stepsize=1 / 16,
+                                        enable_early_out=False)
+    opt = make_optimizer("Adam", lr=1e-3)
+    w = h = 8
+    steps = 28
+    rs, rd, tgt = [], [], []
+    for i in range(n):
+        s, d = generate_rays(
+            CameraOnASphere.make(pitch=0.1 * i, yaw=0.4 * i,
+                                 distance=1.6), w, h)
+        rs.append(np.asarray(s).reshape(-1, 3))
+        rd.append(np.asarray(d).reshape(-1, 3))
+        tgt.append(rng.random((w * h, 4)).astype(np.float32))
+    rs, rd, tgt = np.stack(rs), np.stack(rd), np.stack(tgt)
+    sloss = LossNetScreen(l1=1.0, l2=0.5)
+    nets = {}
+    for overlap in (False, True):
+        step = make_dp_screen_train_step(
+            mesh, tf, cfg, sloss, opt, width=w, height=h,
+            max_steps=steps, overlap_grads=overlap)
+        net2, _, total = step(replicate(mesh, net),
+                              replicate(mesh, opt.init(net)),
+                              shard_batch(mesh, rs),
+                              shard_batch(mesh, rd),
+                              shard_batch(mesh, tgt))
+        nets[overlap] = (float(total), net2)
+    np.testing.assert_allclose(nets[True][0], nets[False][0],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(nets[True][1]),
+                    jax.tree.leaves(nets[False][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7)
