@@ -139,18 +139,17 @@ class LoadedModel:
                 table_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
                 else jnp.float32,
                 interpret=interpret)
-            # texture / 1D-preintegrated TFs run fused too
+            # texture / 1D- / 2D-preintegrated TFs run fused too
             from .transfer import TransferFunctionTexture
             if isinstance(self.tf, TransferFunctionTexture):
                 if self.tf.preintegration_mode == 1:
                     kw["tf_mode"] = "preint1d"
                     kw["tf_pre"] = self.tf.preintegrated
-                elif self.tf.preintegration_mode == 0:
-                    kw["tf_mode"] = "texture"
+                elif self.tf.preintegration_mode == 2:
+                    kw["tf_mode"] = "preint2d"
+                    kw["tf_pre"] = self.tf.preintegrated
                 else:
-                    raise NotImplementedError(
-                        "fused path: 2D preintegration runs on the "
-                        "plain-JAX path (PLAIN32 mode)")
+                    kw["tf_mode"] = "texture"
             from .ops.fused_mega import mega_supported
             grid = resolve_grid(self.network.latent)
             # megakernel engine: whole march in one pallas_call; needs a

@@ -241,11 +241,22 @@ def choose_fused_config(*, hidden: int, n_layers: int, num_fourier: int,
     VMEM model: bytes/sample = overhead_factor x explicit working set
     (latent gather row + fourier features + per-layer activation chains
     + epilogue temps). The overhead factor absorbs Mosaic's intermediate
-    allocations and is calibrated on the measured flagship point
-    (32:32:32, 14 fourier, 16ch latent table, differentiable: ~100 MB at
-    seg=32 x tile=256 -- PERF.md). Raises ValueError when even the
-    minimum program (seg=8, tile=128) exceeds the budget, mirroring the
-    reference's "warps == 0" error.
+    allocations; calibrated against FOUR on-device compile points
+    (tools/calibrate_chooser.py, v5e, 112 MB vmem limit, f32 table,
+    differentiable):
+
+      32x4 seg=32 tile=512 (N=16384, raw=1520 B)  FITS
+      64x4 seg=32 tile=384 (N=12288, raw=2288 B)  FITS
+      64x4 seg=32 tile=512 (N=16384, raw=2288 B)  does NOT fit
+      128x4 seg=16 tile=512 (N=8192, raw=3824 B)  FITS
+
+    which brackets overhead in [3.0, 4.0); 3.6 splits the bracket and
+    reproduces the measured 64x4 boundary exactly (chooser -> tile=384).
+    Tile is additionally capped at 256: the measured THROUGHPUT plateau
+    is at (32, 256) and tile=512 runs ~10% slower even when it fits
+    (PERF.md shape sweep) -- the cap is a perf choice, not a fit limit.
+    Raises ValueError when even the minimum program (seg=8, tile=128)
+    exceeds the budget, mirroring the reference's "warps == 0" error.
 
     Returns (seg, tile).
     """
@@ -261,14 +272,14 @@ def choose_fused_config(*, hidden: int, n_layers: int, num_fourier: int,
            + 4 * (2 * num_fourier + min(latent_channels, 16))
            + 4 * hidden * act_chains
            + 64)                              # TF/blend epilogue temps
-    # calibration: flagship raw = 1072 B/sample <-> ~100 MB at N=8192
-    overhead = 11.6
+    overhead = 3.6          # see docstring: bracketed [3.0, 4.0) by the
+    #                         on-device compile points
     n_max = int(vmem_budget_bytes / (overhead * raw))
     seg = 32
     while seg > 8 and seg * 128 > n_max:
         seg //= 2
     tile = (n_max // seg) // 128 * 128
-    tile = min(tile, 512)
+    tile = min(tile, 256)   # measured perf plateau (PERF.md)
     if tile < 128:
         raise ValueError(
             f"fused kernel does not fit: hidden={hidden} x {n_layers} "
@@ -1809,6 +1820,53 @@ def _march_epilogue(*, value, dv_dy, pack, rows_t, x, rays, tval, kk,
             absorption = rgba[3]
         require = valid & (v2 >= density_min)
         prev_out = density2.reshape(seg, tile)[seg - 1:seg, :]
+    elif tf_mode == "preint2d":
+        # 2D preintegration table lookup (reference:
+        # renderer_tf_tex2D.cuh tex2D(preintegrated, prev, d)): nearest
+        # (i=front, j=back) cell, matching the plain oracle exactly.
+        # MXU formulation: per channel plane A_c (R2f, R2b),
+        # M_c = A_c @ B with B the back one-hot (R2b, N), then the
+        # front one-hot selects rows: val_c = ones @ (F * M_c).
+        v2 = value.reshape(seg, tile)
+        density2 = (value - density_min) * inv_range          # (1, N)
+        d_clip = jnp.clip(density2, 0.0, 1.0)
+        d2s = density2.reshape(seg, tile)
+        prev2 = jnp.concatenate([carry[4:5, :], d2s[:seg - 1, :]],
+                                axis=0)
+        if lattice:
+            first2 = kk.reshape(seg, tile) == tmin
+            prev2 = jnp.where(first2, -1.0, prev2)
+        prev_flat = prev2.reshape(1, seg * tile)
+        prev_eff = jnp.where(prev_flat < 0, d_clip,
+                             jnp.clip(prev_flat, 0.0, 1.0))
+        r2 = tf_pre_rows
+        fr2 = jnp.float32(r2)
+        i_f = jnp.minimum(jnp.floor(prev_eff * fr2), fr2 - 1.0)
+        j_b = jnp.minimum(jnp.floor(d_clip * fr2), fr2 - 1.0)
+        n_ = d_clip.shape[1]
+        iot = jax.lax.broadcasted_iota(jnp.int32, (r2, n_), 0) \
+            .astype(jnp.float32)
+        fsel = (iot == i_f).astype(jnp.float32)               # (R2, N)
+        bsel = (iot == j_b).astype(jnp.float32)
+        tf_all = tf[:]
+        ones_r = jnp.ones((1, r2), jnp.float32)
+        vals = []
+        for c in range(4):
+            a_c = tf_all[c * r2:(c + 1) * r2, :]              # (R2, R2)
+            m_c = jax.lax.dot_general(
+                a_c, bsel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (R2, N)
+            vals.append(jnp.dot(ones_r, fsel * m_c,
+                                preferred_element_type=jnp.float32))
+        w_a = vals[3]
+        inv_a = jnp.where(w_a > 1e-5, 1.0 / jnp.maximum(w_a, 1e-5), 1.0)
+        rgba_flat = jnp.concatenate(
+            [vals[0] * inv_a, vals[1] * inv_a, vals[2] * inv_a, w_a],
+            axis=0)
+        rgba = rows4(rgba_flat)
+        absorption = rgba[3]        # already an opacity (premultiplied)
+        require = valid & (v2 >= density_min)
+        prev_out = density2.reshape(seg, tile)[seg - 1:seg, :]
     elif tf_mode == "gaussian":
         # sum-of-gaussians TF (reference: renderer_tf_gaussian.cuh:
         # 36-88, plain mode): per-gaussian weights broadcast over the
@@ -1941,8 +1999,25 @@ def _prepare_tf(tf_tensor: Array, tf_mode: str, tf_pre):
             [plain_t, pre_t] + ([jnp.zeros((pad, 4), jnp.float32)]
                                 if pad else []), axis=0)
         return tf_pad, plain_t.shape[0], pre_t.shape[0]
+    if tf_mode == "preint2d":
+        # full 2D table over (front, back) density pairs
+        # (reference: renderer_tf_tex2D.cuh + Compute2DPreintegration-
+        # Table, transfer_function.h:283-286): packed channel-major as
+        # (4*R2, R2) so the kernel contracts each channel plane on the
+        # MXU; the plain table is unused in this mode (the oracle,
+        # TransferFunctionTexture.eval_normalized mode 2, reads the
+        # table for every sample incl. the first via prev := d)
+        if tf_pre is None or tf_pre.ndim != 3:
+            raise ValueError("tf_mode='preint2d' needs tf_pre = the "
+                             "(R2, R2, 4) table from "
+                             "with_preintegration_2d")
+        pre_t = jnp.asarray(tf_pre, jnp.float32)
+        r2 = pre_t.shape[0]
+        packed = jnp.concatenate([pre_t[..., c] for c in range(4)],
+                                 axis=0)                     # (4*R2, R2)
+        return packed, r2, r2
     raise ValueError(f"unknown tf_mode {tf_mode!r} "
-                     "(piecewise|texture|preint1d|gaussian)")
+                     "(piecewise|texture|preint1d|preint2d|gaussian)")
 
 
 def _brdf_tuple(brdf, need_normals: bool) -> tuple:

@@ -1655,3 +1655,41 @@ def test_mega_ray_gradients_camera_matrix():
     g_p = np.asarray(jax.grad(loss_plain)(m0))
     assert np.abs(g_p).max() > 1e-4, "oracle camera gradient vanished"
     np.testing.assert_allclose(g_f, g_p, atol=3e-5, rtol=1e-3)
+
+
+def test_fused_preint2d_tf_matches_plain():
+    """2D preintegration table IN-kernel (reference:
+    renderer_tf_tex2D.cuh tex2D(preintegrated, prev, d) +
+    Compute2DPreintegrationTable): MXU one-hot sandwich lookup vs the
+    plain oracle's nearest-cell indexing."""
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf = _texture_tf().with_preintegration_2d(resolution=64,
+                                              stepsize=1 / 32)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_tf(net, tf, rs, rd, stepsize, steps))
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, tf_mode="preint2d",
+        tf_pre=tf.preintegrated, interpret=True))
+    assert ref[:, 3].max() > 0.5
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_mega_preint2d_tf_matches_lattice_plain():
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf = _texture_tf().with_preintegration_2d(resolution=64,
+                                              stepsize=1 / 32)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    ref = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                    False).color)
+    got = np.asarray(mega_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=8, tile=64,
+        enable_early_out=False, tf_mode="preint2d",
+        tf_pre=tf.preintegrated, interpret=True))
+    assert ref[:, 3].max() > 0.5
+    np.testing.assert_allclose(got, ref, atol=2e-4)
