@@ -124,6 +124,117 @@ def decompress_tucker(data: bytes) -> np.ndarray:
     return core.astype(np.float32)
 
 
+def compress_tthresh(volume: np.ndarray, eps: float = 1e-3,
+                     tracker: MemoryTracker | None = None
+                     ) -> CompressionResult:
+    """TThresh-style compression: full HOSVD + ERROR-DRIVEN BITPLANE
+    truncation of the core (Ballester-Ripoll, Lindstrom & Pajarola,
+    "TTHRESH: Tensor Compression for Multidimensional Visual Data";
+    the codec the reference vendors, compression/src/compression.cpp:
+    1-821 ``compressTThresh*``).
+
+    The two defining mechanisms are reproduced from the paper:
+    1. FULL-rank HOSVD (orthogonal factors) so the core's squared error
+       equals the volume's -- rate control happens on coefficients, not
+       ranks (unlike :func:`compress_tucker`'s rank truncation);
+    2. the core's |coefficients| are scaled to integers and cut at the
+       lowest BITPLANE P whose total squared error stays within
+       ``eps^2 * ||volume||^2`` -- P is found exactly by scanning the
+       64 candidate planes vectorized.
+
+    Deviation from the paper (documented): the surviving planes are
+    entropy-coded with the repo's from-scratch LZ4 over the packed
+    integer/sign arrays instead of the paper's adaptive arithmetic
+    coder with RLE -- simpler backend, same progressive-bitplane rate
+    behavior; factors are stored f16 like the reference's float mode.
+    """
+    v = np.asarray(volume, np.float32)
+    if tracker:
+        tracker.alloc(v.nbytes)
+    core = v.astype(np.float64)
+    factors = []
+    for mode in range(3):
+        unfold = np.moveaxis(core, mode, 0).reshape(core.shape[mode], -1)
+        u, _s, _ = np.linalg.svd(unfold, full_matrices=False)
+        factors.append(u)
+        core = _mode_product(core, u.T, mode)
+    c = core.ravel()
+    amax = float(np.abs(c).max()) or 1.0
+    q = np.round(np.abs(c) / amax * float(2 ** 62)).astype(np.uint64)
+    sign = (c < 0)
+    # exact error per candidate cutoff plane: dropping the low P bits
+    # leaves q >> P << P; scan P from 0 up until the error budget breaks
+    budget = (eps * eps) * float(np.sum(c * c))
+    scale_back = amax / float(2 ** 62)
+    cut = 0
+    for p in range(0, 63):
+        kept = (q >> np.uint64(p)) << np.uint64(p)
+        err = float(np.sum(((q - kept) * scale_back).astype(np.float64)
+                           ** 2))
+        if err > budget:
+            break
+        cut = p
+    kept = (q >> np.uint64(cut)).astype(np.uint64)
+    nbits = max(1, int(kept.max()).bit_length())
+    # store the surviving planes as PACKED BITPLANES, MSB first (the
+    # paper's layout): high planes are almost entirely zero, so the LZ4
+    # stage collapses them -- the fixed-width spelling wasted ~2-3x
+    nz = kept != 0
+    planes = [np.packbits(((kept >> np.uint64(p)) & np.uint64(1))
+                          .astype(np.uint8)).tobytes()
+              for p in range(nbits - 1, -1, -1)]
+    coeff_raw = b"".join(planes)
+    sign_raw = np.packbits(sign[nz].astype(np.uint8)).tobytes()
+    blob = {
+        "shape": v.shape,
+        "cut": cut,
+        "amax": amax,
+        "nbits": nbits,
+        "coeffs": coeff_raw,
+        "signs": sign_raw,
+        "n_nz": int(nz.sum()),
+        "factors": [f.astype(np.float16) for f in factors],
+    }
+    raw = pickle.dumps(blob)
+    payload = lz4io.compress(raw) if lz4io.available() else raw
+    header = struct.pack("<ii", len(raw), 1 if lz4io.available() else 0)
+    data = header + payload
+    rec = decompress_tthresh(data)
+    if tracker:
+        tracker.free(v.nbytes)
+    return CompressionResult(payload=data, compressed_bytes=len(data),
+                             raw_bytes=v.nbytes, psnr=_psnr(v, rec))
+
+
+def decompress_tthresh(data: bytes) -> np.ndarray:
+    raw_len, compressed = struct.unpack("<ii", data[:8])
+    body = data[8:]
+    raw = lz4io.decompress(body, raw_len) if compressed else body
+    blob = pickle.loads(raw)
+    shape = blob["shape"]
+    n = int(np.prod(shape))
+    nbits = blob["nbits"]
+    plane_bytes = -(-n // 8)
+    kept = np.zeros(n, np.uint64)
+    buf = blob["coeffs"]
+    for k in range(nbits):
+        p = nbits - 1 - k
+        bits = np.unpackbits(np.frombuffer(
+            buf[k * plane_bytes:(k + 1) * plane_bytes], np.uint8))[:n]
+        kept |= bits.astype(np.uint64) << np.uint64(p)
+    mag = (kept << np.uint64(blob["cut"])).astype(np.float64) \
+        * (blob["amax"] / float(2 ** 62))
+    nz = kept != 0
+    signs = np.unpackbits(
+        np.frombuffer(blob["signs"], np.uint8))[:blob["n_nz"]]
+    sgn = np.ones(n, np.float64)
+    sgn[nz] = np.where(signs.astype(bool), -1.0, 1.0)
+    core = (mag * sgn).reshape(shape)
+    for mode, f in enumerate(blob["factors"]):
+        core = _mode_product(core, f.astype(np.float64), mode)
+    return core.astype(np.float32)
+
+
 def compress_quantize(volume: np.ndarray, bits: int = 8,
                       tracker: MemoryTracker | None = None
                       ) -> CompressionResult:
@@ -168,6 +279,10 @@ def compression_teaser(volume: np.ndarray, network_bytes: int) -> dict:
     (reference: eval_CompressionTeaser.py:169-241): tune each codec to
     roughly the SRN's byte budget, report ratio + PSNR."""
     results = {}
+    for eps in (3e-2, 1e-2, 3e-3):
+        r = compress_tthresh(volume, eps)
+        results[f"tthresh@{eps:g}"] = {
+            "bytes": r.compressed_bytes, "ratio": r.ratio, "psnr": r.psnr}
     for energy in (1e-2, 1e-3, 1e-4):
         r = compress_tucker(volume, energy)
         results[f"tucker@{energy:g}"] = {

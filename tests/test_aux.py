@@ -145,3 +145,44 @@ def test_screen_loss_with_lpips_model():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="LPIPS"):
         LossNetScreen(lpips=0.5)(pred, ref)
+
+
+def test_tthresh_error_target_and_roundtrip():
+    """TThresh-style codec: full HOSVD + error-driven bitplane cutoff
+    (reference: compression/src/compression.cpp compressTThresh*): the
+    reconstruction's relative Frobenius error must respect eps, tighter
+    eps must not compress smaller, and smooth volumes must compress far
+    better than the 8-bit quantizer at comparable PSNR."""
+    import numpy as np
+    from fvsrn_tpu.compression import (compress_quantize,
+                                       compress_tthresh,
+                                       decompress_tthresh)
+    rng = np.random.default_rng(0)
+    g = np.meshgrid(*[np.linspace(0, 1, 32)] * 3, indexing="ij")
+    vol = (np.sin(6 * g[0]) * np.cos(5 * g[1]) * np.sin(4 * g[2])
+           ).astype(np.float32)
+    noisy = (vol + 0.05 * rng.standard_normal(vol.shape)
+             ).astype(np.float32)
+    sizes = []
+    for eps in (3e-2, 3e-3):
+        r = compress_tthresh(noisy, eps)
+        rec = decompress_tthresh(r.payload)
+        rel = (np.linalg.norm(rec - noisy)
+               / np.linalg.norm(noisy))
+        assert rel <= eps * 1.01, (eps, rel)
+        sizes.append(r.compressed_bytes)
+    assert sizes[1] >= sizes[0]
+    # smooth-volume rate: beats uniform quantization at >= its PSNR
+    r_t = compress_tthresh(vol, 1e-2)
+    r_q = compress_quantize(vol, 8)
+    assert r_t.psnr >= r_q.psnr
+    assert r_t.compressed_bytes < r_q.compressed_bytes
+
+
+def test_compression_teaser_includes_tthresh():
+    import numpy as np
+    from fvsrn_tpu.compression import compression_teaser
+    g = np.meshgrid(*[np.linspace(0, 1, 16)] * 3, indexing="ij")
+    vol = np.sin(4 * g[0] + 3 * g[1] * g[2]).astype(np.float32)
+    out = compression_teaser(vol, network_bytes=1000)
+    assert any(k.startswith("tthresh@") for k in out)
