@@ -134,8 +134,14 @@ class LoadedModel:
                 stepsize=stepsize,
                 density_min=float(np.asarray(self.config.density_min)),
                 density_max=float(np.asarray(self.config.density_max)),
-                compute_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
-                else jnp.float32,
+                # FUSED_BF16 = bf16 latent TABLE, f32 elementwise math:
+                # XLA:TPU already rounds every matmul operand to bf16
+                # (one-pass MXU, PERF.md), so compute_dtype=bf16 buys
+                # no FLOPs -- but bf16 ACTIVATION math through a
+                # ~700-step march measurably hurts (SSIM 0.75 vs 0.91
+                # at 512^2, eval_volumetric_features) -- the table is
+                # where the memory saving lives
+                compute_dtype=jnp.float32,
                 table_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
                 else jnp.float32,
                 interpret=interpret)
