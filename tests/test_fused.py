@@ -1693,3 +1693,55 @@ def test_mega_preint2d_tf_matches_lattice_plain():
         tf_pre=tf.preintegrated, interpret=True))
     assert ref[:, 3].max() > 0.5
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_mega_camera_pose_optimization():
+    """End-to-end screen-space CAMERA optimization through the fused
+    megakernel (the reference's differentiable-camera use case,
+    camera.h Parameter<T>): gradient-descend a perturbed camera matrix
+    toward a target render; the pose loss must drop substantially."""
+    import optax
+    from fvsrn_tpu.camera import camera_matrix, generate_rays
+    from fvsrn_tpu.ops.fused_dvr import certify_boxfeat
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, _rs, _rd = _scene(True, seed=31)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    fov = 0.7853981633974483
+    m_true = jnp.asarray(camera_matrix(
+        CameraOnASphere.make(pitch=0.3, yaw=0.7, distance=1.6)))
+    m0 = m_true + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(0), m_true.shape)
+    s0, d0 = generate_rays(np.asarray(m0), 8, 8, fov_y_radians=fov)
+    spec = certify_boxfeat(
+        np.asarray(s0).reshape(-1, 3), np.asarray(d0).reshape(-1, 3),
+        (8, 8, 8), bm, bs, stepsize=stepsize, max_steps=steps,
+        seg=16, tile=64, margin=4)   # extra margin: the pose moves
+
+    def render(m):
+        s, d = generate_rays(m, 8, 8, fov_y_radians=fov)
+        return mega_trace_dvr(
+            s.reshape(-1, 3), d.reshape(-1, 3), net, bm, bs, tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            enable_early_out=False, differentiable=True,
+            ray_grads=True, subbox=spec, interpret=True)
+
+    target = jax.lax.stop_gradient(render(m_true))
+
+    def loss(m):
+        return jnp.mean((render(m) - target) ** 2)
+
+    opt = optax.adam(3e-3)
+    state = opt.init(m0)
+    m = m0
+    l0 = float(loss(m0))
+    grad_fn = jax.value_and_grad(loss)
+    for _ in range(30):
+        l, g = grad_fn(m)
+        upd, state = opt.update(g, state)
+        m = optax.apply_updates(m, upd)
+    l1 = float(loss(m))
+    assert l1 < 0.3 * l0, (l0, l1)
+    assert float(jnp.abs(m - m_true).max()) \
+        < float(jnp.abs(m0 - m_true).max())
