@@ -2,10 +2,14 @@
 """Benchmark: SRN DVR forward+backward throughput on the real TPU.
 
 North-star metric (BASELINE.json): Mrays/s/chip for the SRN DVR
-forward+backward at 512^2, world stepsize 1/512 -- the timing
-configuration of the reference's harness (reference: applications/
-volnet/eval_VolumetricFeatures.py:147-200: 512x512, stepsize 1/512,
-GPUTimer, first frame discarded as warm-up).
+render at 512^2, world stepsize 1/512 -- the timing configuration of
+the reference's harness (reference: applications/volnet/
+eval_VolumetricFeatures.py:147-200: 512x512, stepsize 1/512, GPUTimer,
+first frame discarded as warm-up). The reference's harness -- and the
+13.1 Mrays/s baseline value -- time FORWARD-ONLY rendering, so the
+primary value here is the matching forward-only contract; the fwd+bwd
+training-step rate is measured in the same run and reported as
+"train_fwd_bwd_mrays" (with its own vs_baseline field).
 
 Scene: the TRAINED flagship checkpoint (assets/flagship_mlobb.hdf5,
 world-fit MARSCHNER_LOBB, the recipe of tools/train_flagship.py) -- the
@@ -228,18 +232,28 @@ def main():
     dt_r = (time.perf_counter() - t0) / 4
     print(f"random weights: {dt_r:.3f}s/frame over 4", file=sys.stderr)
 
+    mrays_f = WIDTH * HEIGHT / dt_f / 1e6
     print(json.dumps({
-        "metric": "Mrays/s/chip SRN DVR fwd+bwd at 512^2 (stepsize "
+        # Primary = the baseline's OWN contract: forward-only
+        # interactive rendering (the reference's harness,
+        # eval_VolumetricFeatures.py:147-200, times render() frames --
+        # no backward). The fwd+bwd training-step rate (which the
+        # reference never reports; 13.1 is forward) stays below as an
+        # explicit field so both comparisons are always on record.
+        "metric": "Mrays/s/chip SRN DVR render at 512^2 (stepsize "
                   "1/512, trained fV-SRN 32:32:32+latent-grid flagship, "
-                  "saturation-planned march + gated early-out adjoint)",
-        "value": round(mrays, 4),
+                  "forward-only like the baseline; fwd+bwd reported as "
+                  "train_fwd_bwd_mrays)",
+        "value": round(mrays_f, 4),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "vs_baseline": round(mrays_f / BASELINE_MRAYS, 4),
         "gate": "ok" if gate_ok else "fail",
         "gate_img_max_abs_diff": round(img_diff, 6),
         "gate_grad_norm_rel_err": round(grad_rel, 6),
-        "random_weights_mrays": round(WIDTH * HEIGHT / dt_r / 1e6, 4),
-        "trained_forward_mrays": round(WIDTH * HEIGHT / dt_f / 1e6, 4),
+        "train_fwd_bwd_mrays": round(mrays, 4),
+        "train_fwd_bwd_vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "random_weights_fwd_bwd_mrays": round(
+            WIDTH * HEIGHT / dt_r / 1e6, 4),
     }))
 
 

@@ -352,7 +352,8 @@ class BoxfeatSpec(NamedTuple):
 
 def certify_boxfeat(ray_start, ray_dir, grid_sizes, box_min, box_size, *,
                     stepsize: float, max_steps: int, seg: int, tile: int,
-                    margin: int = 2, tmax_clip=None) -> BoxfeatSpec:
+                    margin: int = 2, tmax_clip=None,
+                    tmin_clip=None) -> BoxfeatSpec:
     """Certify the boxfeat latent path for a concrete ray set.
 
     Measures the per-(ray-tile, segment) latent-grid cell footprint under
@@ -385,6 +386,8 @@ def certify_boxfeat(ray_start, ray_dir, grid_sizes, box_min, box_size, *,
     tmax = np.maximum(t0, t1).min(axis=1).astype(np.float32)
     if tmax_clip is not None:
         tmax = np.minimum(tmax, np.asarray(tmax_clip, np.float32))
+    if tmin_clip is not None:
+        tmin = np.maximum(tmin, np.asarray(tmin_clip, np.float32))
     k0 = np.ceil(tmin / h)
     k0t = k0.reshape(n_tiles, tile).min(axis=1)
     k1 = np.floor(tmax / h)
@@ -428,6 +431,8 @@ class RayBucketPlan(NamedTuple):
     tmax_clip: Optional[np.ndarray] = None  # (R,) permuted per-ray t clamp
     group_specs_fine: tuple = ()  # per-bucket FINE (sub-segment window)
     #   BoxfeatSpec for the megakernel's grouped resolve (resolve_groups)
+    tmin_clip: Optional[np.ndarray] = None  # (R,) permuted per-ray entry
+    #   clip (probe_entry_tmin): leading empty space skipped per tile
 
 
 def probe_saturation_tmax(ray_start, ray_dir, volume, tf, *,
@@ -507,10 +512,50 @@ def probe_saturation_tmax(ray_start, ray_dir, volume, tf, *,
                       np.float32)
 
 
+def probe_entry_tmin(ray_start, ray_dir, volume, tf, *,
+                     stepsize: float, max_steps: int,
+                     coarse: int = 8,
+                     alpha_threshold: float = 1e-3,
+                     margin_steps: int = 24,
+                     density_min: float = 0.0,
+                     density_max: float = 1.0,
+                     blend_beer: bool = True) -> np.ndarray:
+    """Per-ray ENTRY empty-space clip: the t where the coarse march's
+    accumulated opacity first reaches ``alpha_threshold``, backed off
+    by ``margin_steps`` fine steps (plus one coarse step for the
+    crossing's in-step position). Feed as ``tmin_clip`` to
+    :func:`plan_ray_buckets` / the fused traces: tile segment bases
+    advance past leading empty space (min over each tile's rays), so
+    spans -- and the march cost -- shrink from the FRONT exactly like
+    :func:`probe_saturation_tmax` shrinks them from the tail. Rays that
+    never reach the threshold return their tmax (they render ~nothing;
+    their tile span collapses to the neighbors').
+
+    Forward image error is bounded by the skipped prefix's accumulated
+    opacity (< ``alpha_threshold``). Parameter gradients of the skipped
+    samples are dropped, so this is a RENDERING clip (the reference's
+    interactive renderer semantics), not a training default: classic
+    plan-time empty-space skipping, the front-side counterpart of the
+    reference's alpha>=0.999 early-out truncation.
+
+    Cost: one coarse alpha march per ray, once per camera. Returns np
+    (R,) f32.
+    """
+    t = probe_saturation_tmax(
+        ray_start, ray_dir, volume, tf, stepsize=stepsize,
+        max_steps=max_steps, coarse=coarse,
+        alpha_threshold=alpha_threshold,
+        margin_steps=-(margin_steps + coarse),
+        density_min=density_min, density_max=density_max,
+        blend_beer=blend_beer)
+    return np.maximum(np.asarray(t, np.float32).reshape(-1), 0.0)
+
+
 def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
                      stepsize: float, seg: int, tile: int,
                      n_buckets: int = 4, grid_sizes=None,
                      quantize: int = 0, tmax_clip=None,
+                     tmin_clip=None,
                      resolve_groups: int = 1) -> RayBucketPlan:
     """Bucket ray tiles by march length so short tiles stop marching
     early.
@@ -558,6 +603,10 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
     tmax = np.maximum(t0, t1).min(axis=1)
     if tmax_clip is not None:
         tmax = np.minimum(tmax, np.asarray(tmax_clip, np.float32))
+    if tmin_clip is not None:
+        # entry empty-space clip (probe_entry_tmin): spans shrink from
+        # the front; each tile's base advances by its rays' min clip
+        tmin = np.maximum(tmin, np.asarray(tmin_clip, np.float32))
     k0 = np.ceil(tmin / h)
     k1 = np.floor(tmax / h)
     alive = (tmax > tmin) & (k1 >= k0)
@@ -575,6 +624,8 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
     sizes, steps, specs, specs_fine = [], [], [], []
     clip_p = (np.asarray(tmax_clip, np.float32)[perm]
               if tmax_clip is not None else None)
+    tminc_p = (np.asarray(tmin_clip, np.float32)[perm]
+               if tmin_clip is not None else None)
     if resolve_groups > 1 and seg % resolve_groups:
         raise ValueError("resolve_groups must divide seg")
     if live > 0:
@@ -593,11 +644,13 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
             if grid_sizes is not None:
                 clip_b = (clip_p[a * tile:b * tile]
                           if clip_p is not None else None)
+                tminc_b = (tminc_p[a * tile:b * tile]
+                           if tminc_p is not None else None)
                 sp = certify_boxfeat(
                     rs_p[a * tile:b * tile], rd_p[a * tile:b * tile],
                     grid_sizes, bmin, bsize, stepsize=stepsize,
                     max_steps=g_steps, seg=seg, tile=tile,
-                    tmax_clip=clip_b)
+                    tmax_clip=clip_b, tmin_clip=tminc_b)
                 if quantize:
                     # stabilize the static spec across cameras: round
                     # footprint corners up to even, segment count to
