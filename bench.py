@@ -1,28 +1,30 @@
 #!/usr/bin/env python
 """Benchmark: SRN DVR forward+backward throughput on the real TPU.
 
-North-star metric (BASELINE.json): Mrays/s/chip for the SRN DVR
-render at 512^2, world stepsize 1/512 -- the timing configuration of
-the reference's harness (reference: applications/volnet/
-eval_VolumetricFeatures.py:147-200: 512x512, stepsize 1/512, GPUTimer,
-first frame discarded as warm-up). The reference's harness -- and the
-13.1 Mrays/s baseline value -- time FORWARD-ONLY rendering, so the
-primary value here is the matching forward-only contract; the fwd+bwd
-training-step rate is measured in the same run and reported as
-"train_fwd_bwd_mrays" (with its own vs_baseline field).
+North-star metric (BASELINE.json, the contracted primary): Mrays/s/chip
+for the fused SRN DVR FORWARD+BACKWARD at 512^2, world stepsize 1/512
+-- the timing configuration of the reference's harness (reference:
+applications/volnet/eval_VolumetricFeatures.py:147-200: 512x512,
+stepsize 1/512, GPUTimer, first frame discarded as warm-up). The
+reference's own harness times forward-only interactive rendering (the
+scale of the 13.1 number), so the matching forward-only rate is
+measured in the same run and reported as the named field
+"forward_mrays" (with its own vs_baseline field) -- but "value" stays
+the contracted fwd+bwd training-step rate.
 
 Scene: the TRAINED flagship checkpoint (assets/flagship_mlobb.hdf5,
 world-fit MARSCHNER_LOBB, the recipe of tools/train_flagship.py) -- the
 reference's harness times TRAINED networks, where alpha saturation
 makes early-out pay; a random-weight network is structurally
 adversarial to it. The random-weight arm is still measured and
-reported as a secondary field ("random_weights_mrays").
+reported as a secondary field ("random_weights_fwd_bwd_mrays").
 
 Baseline value: the reference stores no numbers (BASELINE.md); we use
 13.1 Mrays/s = 512^2 px / 20 ms, the RTX 2070 TENSORCORES_MIXED
 *forward-only* frame time scale implied by the paper's interactive-rate
-claims (arXiv:2112.01579). Comparing our forward+backward against their
-forward is conservative.
+claims (arXiv:2112.01579). Comparing our forward+backward "value"
+against their forward-only rate is conservative; "forward_vs_baseline"
+is the like-for-like comparison.
 
 Numeric gate (same-run, on-device; the role of the reference's
 unittests/testSRN.cpp:405-411 |delta|<1e-2 on-device check): the fused
@@ -202,22 +204,16 @@ def main():
           file=sys.stderr)
 
     # ---- secondary arm: trained-scene FORWARD-only (the reference's
-    # own timing mode is forward-only interactive rendering) ----
-    @jax.jit
-    def fwd_only(net, tft):
-        c = fused_trace_dvr_bucketed(
-            rs, rd, net, bm, bs, tft, plan=plan, stepsize=STEPSIZE,
-            seg=32, tile=256, enable_early_out=True,
-            differentiable=False, latent_mode="boxfeat",
-            table_dtype=jnp.bfloat16, engine="mega")
-        return jnp.mean(c ** 2)
-
-    _ = float(fwd_only(net, tf.tensor))
-    t0 = time.perf_counter()
-    vals = [fwd_only(net, tf.tensor) for _ in range(TIMED_FRAMES)]
-    _ = [float(v) for v in vals]
-    dt_f = (time.perf_counter() - t0) / TIMED_FRAMES
-    print(f"trained forward-only: {dt_f:.3f}s/frame", file=sys.stderr)
+    # own timing mode is forward-only interactive rendering), measured
+    # THROUGH THE PRODUCT API -- LoadedModel.prepare_network_render
+    # runs the same probe+plan+megakernel planning as this bench
+    # (round-4 contract: the bench number IS the product number) ----
+    model.config = RayEvaluationSteppingDvr.make(stepsize=STEPSIZE)
+    fwd_ms, _, _ = model.time_rendering([cam, cam], WIDTH, HEIGHT,
+                                        "FUSED", repeats=TIMED_FRAMES)
+    dt_f = fwd_ms / 1e3
+    print(f"trained forward-only (product API): {dt_f:.3f}s/frame",
+          file=sys.stderr)
 
     # ---- secondary arm: random-weight flagship (round-2 contract) ----
     vol_r, tf_r, _cfg = _build_flagship()
@@ -234,24 +230,22 @@ def main():
 
     mrays_f = WIDTH * HEIGHT / dt_f / 1e6
     print(json.dumps({
-        # Primary = the baseline's OWN contract: forward-only
-        # interactive rendering (the reference's harness,
-        # eval_VolumetricFeatures.py:147-200, times render() frames --
-        # no backward). The fwd+bwd training-step rate (which the
-        # reference never reports; 13.1 is forward) stays below as an
-        # explicit field so both comparisons are always on record.
-        "metric": "Mrays/s/chip SRN DVR render at 512^2 (stepsize "
-                  "1/512, trained fV-SRN 32:32:32+latent-grid flagship, "
-                  "forward-only like the baseline; fwd+bwd reported as "
-                  "train_fwd_bwd_mrays)",
-        "value": round(mrays_f, 4),
+        # Primary "value" = BASELINE.json's contracted metric: the
+        # fwd+bwd training-step rate. The reference's own harness
+        # (eval_VolumetricFeatures.py:147-200) times forward-only
+        # frames -- that like-for-like rate is the named field
+        # "forward_mrays" so both comparisons are always on record.
+        "metric": "Mrays/s/chip fused SRN DVR fwd+bwd at 512^2 "
+                  "(stepsize 1/512, trained fV-SRN 32:32:32+latent-grid "
+                  "flagship; forward-only reported as forward_mrays)",
+        "value": round(mrays, 4),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays_f / BASELINE_MRAYS, 4),
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
         "gate": "ok" if gate_ok else "fail",
         "gate_img_max_abs_diff": round(img_diff, 6),
         "gate_grad_norm_rel_err": round(grad_rel, 6),
-        "train_fwd_bwd_mrays": round(mrays, 4),
-        "train_fwd_bwd_vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "forward_mrays": round(mrays_f, 4),
+        "forward_vs_baseline": round(mrays_f / BASELINE_MRAYS, 4),
         "random_weights_fwd_bwd_mrays": round(
             WIDTH * HEIGHT / dt_r / 1e6, 4),
     }))

@@ -9,10 +9,20 @@ benchmark helper used by all eval scripts
 (reference: eval_VolumetricFeatures.py:147-200).
 
 Eval modes (reference: inference.py EvalMode):
-- FUSED        -> Pallas fused kernel, f32 accumulate (TENSORCORES_MIXED)
-- FUSED_BF16   -> Pallas fused kernel, bf16 matmuls (TENSORCORES_SHARED)
+- FUSED        -> Pallas fused kernel, bf16 latent table + f32 math
+                  (TENSORCORES_MIXED; the reference's TC modes are fp16
+                  storage either way, renderer_volume_tensorcores.cuh)
+- FUSED_BF16   -> same contract (TENSORCORES_SHARED analog; kept as a
+                  distinct name for mode tables)
 - PLAIN32      -> plain-JAX scan path, f32 (PYTORCH32)
 - PLAIN16      -> plain-JAX scan path, bf16 params (PYTORCH16)
+
+The FUSED product path runs the SAME camera-static planning as
+bench.py: saturation-clamped march (probe_saturation_tmax ->
+plan_ray_buckets(tmax_clip=...)) + the in-kernel early-out vote + the
+bf16 latent table -- the bench number IS the product number (round-4
+fix; the round-3 product path skipped the clip and ran 2.9x slower
+than the bench on the same scene).
 """
 from __future__ import annotations
 
@@ -99,22 +109,38 @@ class LoadedModel:
                                    height)
 
     def render_network(self, camera, width: int, height: int,
-                       mode: str = "FUSED", interpret: bool = False):
+                       mode: str = "FUSED", interpret: bool = False,
+                       **plan_kwargs):
         """(reference: inference.py:529-660 ``render_network``).
         ``interpret``: run the fused kernel in Pallas interpret mode
-        (off-TPU testing)."""
+        (off-TPU testing). ``plan_kwargs`` forward to
+        :meth:`prepare_network_render` (``saturation_clip``,
+        ``table_dtype``)."""
         return self.prepare_network_render(camera, width, height, mode,
-                                           interpret)()
+                                           interpret, **plan_kwargs)()
 
     def prepare_network_render(self, camera, width: int, height: int,
                                mode: str = "FUSED",
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               saturation_clip: bool = True,
+                               table_dtype=None):
         """Build a zero-arg render callable with all host-side planning
-        (ray gen, block permutation, bucket certification) done up
-        front and the device program under one ``jax.jit`` -- so timing
-        loops measure steady-state device work, not per-frame host prep
-        (reference: the NVRTC kernel is likewise compiled before the
-        GPUTimer loop, eval_VolumetricFeatures.py:147-188)."""
+        (ray gen, block permutation, saturation probe, bucket
+        certification) done up front and the device program under one
+        ``jax.jit`` -- so timing loops measure steady-state device
+        work, not per-frame host prep (reference: the NVRTC kernel is
+        likewise compiled before the GPUTimer loop,
+        eval_VolumetricFeatures.py:147-188).
+
+        ``saturation_clip``: run :func:`probe_saturation_tmax` (a
+        camera-static coarse alpha march) and clamp each ray's march at
+        its estimated saturation depth -- the planner-level equivalent
+        of the reference's in-kernel alpha>=0.999 early-out
+        (renderer_ray_evaluation_stepping_dvr.cuh:93-99); on trained
+        scenes this is the dominant frame-time lever. Applied for
+        density-output networks on the bucketed FUSED path.
+        ``table_dtype``: override the latent-table dtype (default
+        bf16, the reference's fp16-storage contract)."""
         if mode not in EVAL_MODES:
             raise ValueError(f"mode must be one of {EVAL_MODES}")
         stepsize = float(np.asarray(self.config.stepsize))
@@ -129,21 +155,22 @@ class LoadedModel:
             from .ops.fused_dvr import (block_ray_permutation,
                                         fused_trace_dvr,
                                         fused_trace_dvr_bucketed,
-                                        plan_ray_buckets)
+                                        plan_ray_buckets,
+                                        probe_saturation_tmax)
             kw = dict(
                 stepsize=stepsize,
                 density_min=float(np.asarray(self.config.density_min)),
                 density_max=float(np.asarray(self.config.density_max)),
-                # FUSED_BF16 = bf16 latent TABLE, f32 elementwise math:
-                # XLA:TPU already rounds every matmul operand to bf16
-                # (one-pass MXU, PERF.md), so compute_dtype=bf16 buys
-                # no FLOPs -- but bf16 ACTIVATION math through a
-                # ~700-step march measurably hurts (SSIM 0.75 vs 0.91
-                # at 512^2, eval_volumetric_features) -- the table is
-                # where the memory saving lives
+                # bf16 latent TABLE, f32 elementwise math: XLA:TPU
+                # already rounds every matmul operand to bf16 (one-pass
+                # MXU, PERF.md), so compute_dtype=bf16 buys no FLOPs --
+                # but bf16 ACTIVATION math through a ~700-step march
+                # measurably hurts (SSIM 0.75 vs 0.91 at 512^2,
+                # eval_volumetric_features) -- the table is where the
+                # memory saving lives
                 compute_dtype=jnp.float32,
-                table_dtype=jnp.bfloat16 if mode == "FUSED_BF16"
-                else jnp.float32,
+                table_dtype=(table_dtype if table_dtype is not None
+                             else jnp.bfloat16),
                 interpret=interpret)
             # texture / 1D- / 2D-preintegrated TFs run fused too
             from .transfer import TransferFunctionTexture
@@ -174,6 +201,19 @@ class LoadedModel:
                 perm, inv = block_ray_permutation(width, height, 16, 16)
                 rs_np, rd_np = rs_np[perm], rd_np[perm]
                 c, gd, gh, gw = grid.shape
+                clip = None
+                if (saturation_clip
+                        and self.network.output_mode.startswith("density")
+                        and hasattr(self.tf, "eval_normalized")):
+                    # camera-static saturation probe (bench.py's exact
+                    # planning pre-pass): coarse alpha-only march of
+                    # the SAME network+TF, once per camera
+                    nvol = VolumeInterpolationNetwork.make(
+                        self.network, box_min=self.box_min,
+                        box_size=self.box_size)
+                    clip = probe_saturation_tmax(
+                        rs_np, rd_np, nvol, self.tf, stepsize=stepsize,
+                        max_steps=steps, coarse=8, margin_steps=16)
                 # quantize=128: plans from different camera poses hash
                 # to the same static structure -> jit reuse across the
                 # timing loop (reference warm-up semantics)
@@ -181,19 +221,30 @@ class LoadedModel:
                     rs_np, rd_np, np.asarray(self.box_min),
                     np.asarray(self.box_size), stepsize=stepsize,
                     seg=32, tile=256, n_buckets=6,
-                    grid_sizes=(gw, gh, gd), quantize=128)
+                    grid_sizes=(gw, gh, gd), quantize=128,
+                    tmax_clip=clip)
                 rs_d = jnp.asarray(rs_np)
                 rd_d = jnp.asarray(rd_np)
                 inv_d = jnp.asarray(inv)
 
+                # the per-camera clip rides in as a TRACED argument
+                # (not a baked constant) so quantize-stabilized plans
+                # from different cameras share one compiled program
+                clip_dev = (jnp.asarray(plan.tmax_clip)
+                            if plan.tmax_clip is not None else None)
+
                 @jax.jit
-                def render(net, tft):
+                def render(net, tft, clip_):
+                    p = plan._replace(tmax_clip=clip_)
                     color = fused_trace_dvr_bucketed(
                         rs_d, rd_d, net, self.box_min, self.box_size,
-                        tft, plan=plan, seg=32, tile=256,
+                        tft, plan=p, seg=32, tile=256,
                         latent_mode="boxfeat", engine=engine, **kw)
                     color = jnp.take(color, inv_d, axis=0)
                     return color.reshape(height, width, 4)
+
+                return lambda: render(self.network, self.tf.tensor,
+                                      clip_dev)
             else:
                 tile = 128
                 pad = (-rs.shape[0]) % tile
@@ -277,23 +328,40 @@ class LoadedModel:
 
     # -- benchmarking (reference: eval_VolumetricFeatures.py:147-200) ----
     def time_rendering(self, cameras, width: int = 512, height: int = 512,
-                       mode: str = "FUSED"):
-        """Frame times over cameras, first frame discarded as warm-up;
+                       mode: str = "FUSED", repeats: int = 4):
+        """Frame times over cameras, first camera discarded as warm-up;
         renderers are prepared + compiled before the loop (the
         reference's kernel is likewise compiled outside its GPUTimer
-        loop). Returns (mean_ms, std_ms, per_frame_ms)."""
+        loop). Returns (mean_ms, std_ms, per_frame_ms).
+
+        Protocol: per camera, ``repeats`` frames dispatch back-to-back
+        and one on-device scalar reduction of the last frame is
+        fetched; frame time = wall / repeats. This measures DEVICE
+        rendering work -- the role of the reference's CUDA-event
+        GPUTimer (eval_VolumetricFeatures.py:151-188), which brackets
+        the kernel and excludes readback. A per-frame full-image fetch
+        here would time the axon host tunnel (~4 MB/frame, measured
+        3-4x the render itself), which no production deployment pays
+        per frame (the image stays device-side for display/compositing
+        or is streamed asynchronously)."""
+        import jax as _jax
+        import jax.numpy as _jnp
         fns = [self.prepare_network_render(c, width, height, mode)
                for c in cameras]
+        reduce_ = _jax.jit(lambda x: _jnp.mean(x))
         for fn in fns:  # compile every plan structure before timing
-            np.asarray(fn())
+            float(reduce_(fn()))
         timer = GPUTimer()
         times = []
         for i, fn in enumerate(fns):
             timer.start()
-            # np.asarray: block_until_ready does not block through the
-            # axon tunnel -- materialize to time
-            np.asarray(fn())
-            ms = timer.stop()
+            out = None
+            for _ in range(repeats):
+                out = fn()
+            # scalar fetch: block_until_ready does not block through
+            # the axon tunnel -- reduce on device and fetch 4 bytes
+            float(reduce_(out))
+            ms = timer.stop() / max(1, repeats)
             if i > 0:  # warm-up discard (reference: :188)
                 times.append(ms)
         arr = np.asarray(times) if times else np.asarray([0.0])

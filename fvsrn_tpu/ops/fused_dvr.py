@@ -34,15 +34,16 @@ column = i_tile*(seg*tile) + j*tile + ray, so each program reads one
 contiguous lane block and per-step compositing slices contiguous lanes.
 
 Supported configuration (per-segment engine): density AND rgbo output
-modes; piecewise / texture / 1D-preintegrated / gaussian TFs evaluated
-in-kernel; alpha/Beer-Lambert blending; optional direction input;
-adjoint normals + Lambert/Phong shading (``need_normals``/``brdf``);
-static or time/ensemble-keyframed latent grids (pre-lerped per frame);
-isosurface first-crossing (``iso_value``); per-ray ``tmax_clip``.
-The differentiable backward covers density-output + piecewise TF
-(fused_dvr_bwd); other modes differentiate via the plain JAX path in
-fvsrn_tpu.raytracer.dvr. 2D-preintegrated TFs and 1D latent vectors are
-not fused.
+modes; piecewise / texture / 1D- and 2D-preintegrated / gaussian TFs
+evaluated in-kernel; alpha/Beer-Lambert blending; optional direction
+input; adjoint normals + Lambert/Phong shading (``need_normals``/
+``brdf``); static or time/ensemble-keyframed latent grids (pre-lerped
+per frame); isosurface first-crossing (``iso_value``); per-ray
+``tmax_clip``/``tmin_clip``. The differentiable backward covers
+density-output + piecewise TF (fused_dvr_bwd); other modes
+differentiate via the plain JAX path in fvsrn_tpu.raytracer.dvr.
+1D latent time/ensemble VECTORS (interp1D conditioning) are not fused
+-- they route to the plain path.
 """
 from __future__ import annotations
 
@@ -531,15 +532,27 @@ def probe_entry_tmin(ray_start, ray_dir, volume, tf, *,
     never reach the threshold return their tmax (they render ~nothing;
     their tile span collapses to the neighbors').
 
-    Forward image error is bounded by the skipped prefix's accumulated
-    opacity (< ``alpha_threshold``). Parameter gradients of the skipped
-    samples are dropped, so this is a RENDERING clip (the reference's
-    interactive renderer semantics), not a training default: classic
-    plan-time empty-space skipping, the front-side counterpart of the
-    reference's alpha>=0.999 early-out truncation.
+    Forward image error is ESTIMATED, not bounded: the probe marches at
+    ``coarse * stepsize`` and can step over features thinner than the
+    coarse stride, so the fine-march prefix opacity can exceed the
+    coarse estimate; ``margin_steps`` is the heuristic mitigation (same
+    caveat as :func:`probe_saturation_tmax`). Parameter gradients of
+    the skipped samples are dropped, so this is a RENDERING clip (the
+    reference's interactive renderer semantics), not a training
+    default: classic plan-time empty-space skipping, the front-side
+    counterpart of the reference's alpha>=0.999 early-out truncation.
 
     Cost: one coarse alpha march per ray, once per camera. Returns np
     (R,) f32.
+
+    Measured on the trained flagship (512^2, round 4): NOT a default --
+    rays whose thin features the coarse march steps over entirely are
+    clipped to tmax (killed), leaving max image error 0.077 even at
+    ``coarse=2``, while plan group_steps shrink by ZERO (the per-tile
+    min over 256 rays collapses the entry advance). The plumbing is
+    exact (fused == oracle at the same clip, test_fused.py); the
+    estimate is the weak part. Use on scenes with genuinely empty
+    margins, or feed a certified tmin from geometry instead.
     """
     t = probe_saturation_tmax(
         ray_start, ray_dir, volume, tf, stepsize=stepsize,
@@ -672,7 +685,7 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
                         rs_p[a * tile:b * tile], rd_p[a * tile:b * tile],
                         grid_sizes, bmin, bsize, stepsize=stepsize,
                         max_steps=g_steps, seg=seg // resolve_groups,
-                        tile=tile, tmax_clip=clip_b)
+                        tile=tile, tmax_clip=clip_b, tmin_clip=tminc_b)
                     if quantize:
                         szxcf = -(-spf.szxc // 2) * 2
                         nxbf = min((szxcf + 7 + 7) // 8,
@@ -686,7 +699,8 @@ def plan_ray_buckets(ray_start, ray_dir, box_min, box_size, *,
     return RayBucketPlan(perm=perm, inv=inv_p, group_sizes=tuple(sizes),
                          group_steps=tuple(steps), tmax_clip=clip_p,
                          group_specs=tuple(specs), dead=n_dead * tile,
-                         group_specs_fine=tuple(specs_fine))
+                         group_specs_fine=tuple(specs_fine),
+                         tmin_clip=tminc_p)
 
 
 def fused_trace_iso(ray_start: Array, ray_dir: Array, net,
@@ -772,19 +786,20 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
             raise ValueError("plan carries fine specs; pass the same "
                              "resolve_groups it was planned with")
 
-        def trace(rs_, rd_, steps_, spec_, fine_, clip_):
+        def trace(rs_, rd_, steps_, spec_, fine_, clip_, tminc_):
             return mega_trace_dvr(rs_, rd_, net, box_min, box_size,
                                   tf_tensor, max_steps=steps_,
                                   subbox=spec_, subbox_fine=fine_,
-                                  tmax_clip=clip_, **kwargs)
+                                  tmax_clip=clip_, tmin_clip=tminc_,
+                                  **kwargs)
     else:
         kwargs.pop("resolve_groups", None)
 
-        def trace(rs_, rd_, steps_, spec_, fine_, clip_):
+        def trace(rs_, rd_, steps_, spec_, fine_, clip_, tminc_):
             return fused_trace_dvr(rs_, rd_, net, box_min, box_size,
                                    tf_tensor, max_steps=steps_,
                                    subbox=spec_, tmax_clip=clip_,
-                                   **kwargs)
+                                   tmin_clip=tminc_, **kwargs)
     perm = jnp.asarray(plan.perm)
     inv = jnp.asarray(plan.inv)
     rs = jnp.take(ray_start, perm, axis=0)
@@ -798,10 +813,12 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
                                          plan.group_specs, fines):
         clip_g = (jnp.asarray(plan.tmax_clip[ofs:ofs + size])
                   if plan.tmax_clip is not None else None)
+        tminc_g = (jnp.asarray(plan.tmin_clip[ofs:ofs + size])
+                   if plan.tmin_clip is not None else None)
         outs.append(trace(
             jax.lax.dynamic_slice_in_dim(rs, ofs, size),
             jax.lax.dynamic_slice_in_dim(rd, ofs, size),
-            g_steps, spec, fine, clip_g))
+            g_steps, spec, fine, clip_g, tminc_g))
         ofs += size
     if plan.dead:
         dead_out = jax.tree.map(
@@ -2136,6 +2153,7 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
                     tf_mode: str = "piecewise",
                     tf_pre: Optional[Array] = None,
                     tmax_clip: Optional[Array] = None,
+                    tmin_clip: Optional[Array] = None,
                     interpret: bool = False):
     """Fused DVR through an SRN. Returns rgba (R, 4), or a
     ``RayEvaluationOutput`` (color, blended normal, depth) when
@@ -2219,6 +2237,13 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         # reference's early-out truncation, decided at plan time
         tmax = jnp.minimum(tmax, jnp.asarray(tmax_clip, dtype)
                            .reshape(tmax.shape))
+    if tmin_clip is not None:
+        # entry empty-space clip (probe_entry_tmin): the march starts
+        # past each ray's leading transparent prefix; in lattice mode
+        # k0_ray advances, in per-ray-start mode the phase shifts --
+        # both match trace_dvr(..., tmin_in=...)
+        tmin = jnp.maximum(tmin, jnp.asarray(tmin_clip, dtype)
+                           .reshape(tmin.shape))
 
     weights = extract_weights(net, jnp.float32)
     has_latent = weights.w1_lat is not None
@@ -2318,7 +2343,11 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
             bf_spec = certify_boxfeat(
                 ray_start, ray_dir, grid_sizes, box_min, box_size,
                 stepsize=stepsize, max_steps=max_steps, seg=seg,
-                tile=tile)
+                tile=tile,
+                tmax_clip=(np.asarray(tmax_clip)
+                           if tmax_clip is not None else None),
+                tmin_clip=(np.asarray(tmin_clip)
+                           if tmin_clip is not None else None))
         boxfeat_t = (bf_spec.szxc, bf_spec.szyc, bf_spec.szzc,
                      bf_spec.nxb, bf_spec.szycp)
         bf_offsets = _boxfeat_row_offsets(bf_spec)

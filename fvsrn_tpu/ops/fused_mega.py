@@ -660,6 +660,7 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                    subbox=0,
                    time=0.0, ensemble=0.0,
                    tmax_clip: Optional[Array] = None,
+                   tmin_clip: Optional[Array] = None,
                    need_normals: bool = False,
                    brdf=None,
                    tf_mode: str = "piecewise",
@@ -714,6 +715,14 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         # reference's early-out truncation, decided at plan time
         tmax = jnp.minimum(tmax, jnp.asarray(tmax_clip, dtype)
                            .reshape(tmax.shape))
+    if tmin_clip is not None:
+        # entry empty-space clip (probe_entry_tmin): advance each ray's
+        # lattice base past its leading transparent prefix -- bases,
+        # active flags, and footprints all derive from k0_ray, so the
+        # whole march shrinks from the front consistently with a
+        # tmin_clip-aware plan/certificate
+        tmin = jnp.maximum(tmin, jnp.asarray(tmin_clip, dtype)
+                           .reshape(tmin.shape))
     k0_ray = jnp.ceil(tmin / stepsize)
 
     weights = extract_weights(net, jnp.float32)
@@ -752,7 +761,9 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                 stepsize=stepsize, max_steps=max_steps, seg=seg,
                 tile=tile,
                 tmax_clip=(np.asarray(tmax_clip)
-                           if tmax_clip is not None else None))
+                           if tmax_clip is not None else None),
+                tmin_clip=(np.asarray(tmin_clip)
+                           if tmin_clip is not None else None))
         mspec = _mega_spec(bf_spec)
         nxb_tot = (gw + 2 + 7) // 8
         by8max = max(0, ((gh + 2 - mspec.szyc) // 8) * 8)
@@ -766,7 +777,9 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                     stepsize=stepsize, max_steps=max_steps,
                     seg=seg // resolve_groups, tile=tile,
                     tmax_clip=(np.asarray(tmax_clip)
-                               if tmax_clip is not None else None))
+                               if tmax_clip is not None else None),
+                    tmin_clip=(np.asarray(tmin_clip)
+                               if tmin_clip is not None else None))
             mspec_fine = _mega_spec(bf_fine)
             # the fine windows' 8-aligned y bases can start later than
             # the coarse ones; pad the slab to cover both

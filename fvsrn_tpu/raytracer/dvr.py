@@ -92,6 +92,7 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
               max_steps: int,
               brdf: Any = None,
               tmax_in: Optional[Array] = None,
+              tmin_in: Optional[Array] = None,
               b: int = 0,
               checkpoint_chunk: Optional[int] = None,
               lattice: bool = False,
@@ -106,6 +107,9 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
       max_steps: static step count (see :func:`max_steps_bound`).
       tmax_in: optional (..., 1) maximum t (from a rasterized depth
         pre-pass, reference: renderer_image_evaluator_simple.cuh:61-71).
+      tmin_in: optional (..., 1) minimum t (entry empty-space clip,
+        e.g. from ops.fused_dvr.probe_entry_tmin); the march starts at
+        max(tmin, tmin_in) with a fresh previous-density carry.
       lattice: sample on the global step lattice t = k*stepsize
         (first sample at ceil(tmin/stepsize)*stepsize) instead of the
         reference's per-ray start t = tmin + i*stepsize. A sub-step
@@ -127,6 +131,8 @@ def trace_dvr(ray_start: Array, ray_dir: Array, volume: Any, tf: Any,
                                     volume.box_min.astype(dtype),
                                     volume.box_size.astype(dtype))
     tmin = jnp.maximum(tmin, 0.0)
+    if tmin_in is not None:
+        tmin = jnp.maximum(tmin, tmin_in)
     tmax = tmax_box if tmax_in is None else jnp.minimum(tmax_box, tmax_in)
 
     stepsize = config.stepsize.astype(dtype)

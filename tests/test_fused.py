@@ -1398,6 +1398,106 @@ def test_mega_tmax_clip_matches_plain_tmax_in():
                                atol=2e-5, rtol=1e-3)
 
 
+def test_mega_tmin_clip_matches_plain_tmin_in():
+    """A per-ray ENTRY clamp (tmin_clip) through the megakernel == the
+    plain lattice oracle with the same tmin_in (forward and gradients):
+    the kernel's lattice base k0_ray must advance past the clip, not
+    re-cover the skipped prefix (ADVICE r3 high finding)."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    rng = np.random.default_rng(5)
+    tminc = jnp.asarray(0.9 + 0.5 * rng.random(rs.shape[0]), jnp.float32)
+
+    def loss_mega(net, tft):
+        c = mega_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tft,
+            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            enable_early_out=False, differentiable=True,
+            tmin_clip=tminc, interpret=True)
+        return jnp.mean(c ** 2)
+
+    def loss_plain(net, tft):
+        out = _plain_lattice(
+            net, TransferFunctionPiecewiseLinear(tensor=tft),
+            rs, rd, stepsize, steps, False,
+            tmin_in=tminc[:, None]).color
+        return jnp.mean(out ** 2)
+
+    np.testing.assert_allclose(float(loss_mega(net, tf.tensor)),
+                               float(loss_plain(net, tf.tensor)),
+                               rtol=1e-5)
+    g_f = jax.grad(loss_mega, argnums=(0, 1))(net, tf.tensor)
+    g_p = jax.grad(loss_plain, argnums=(0, 1))(net, tf.tensor)
+    np.testing.assert_allclose(
+        np.asarray(g_f[0].latent.static_grid),
+        np.asarray(g_p[0].latent.static_grid), atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f[1][:, :4]),
+                               np.asarray(g_p[1][:, :4]),
+                               atol=2e-5, rtol=1e-3)
+
+
+def test_scan_tmin_clip_matches_plain_tmin_in():
+    """Same entry-clamp contract through the per-segment scan engine
+    (boxfeat lattice mode)."""
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    rng = np.random.default_rng(6)
+    tminc = jnp.asarray(0.9 + 0.5 * rng.random(rs.shape[0]), jnp.float32)
+    ref = np.asarray(_plain_lattice(
+        net, tf, rs, rd, stepsize, steps, False,
+        tmin_in=tminc[:, None]).color)
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, latent_mode="boxfeat",
+        tmin_clip=tminc, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    assert ref[:, 3].max() > 0.5
+
+
+def test_probe_entry_planned_through_buckets():
+    """probe_entry_tmin + plan_ray_buckets(tmin_clip=...) rides the plan
+    into the bucketed mega trace: spans shrink from the FRONT and the
+    render stays within the clip tolerance of the unclipped image."""
+    from fvsrn_tpu.ops.fused_dvr import (fused_trace_dvr_bucketed,
+                                         plan_ray_buckets,
+                                         probe_entry_tmin)
+    net, tf, rs, rd = _scene(True)
+    stepsize = 1 / 64
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    vol = VolumeInterpolationNetwork.make(net)
+    ent = probe_entry_tmin(rs, rd, vol, tf, stepsize=stepsize,
+                           max_steps=steps, coarse=4, margin_steps=8)
+    assert ent.shape == (rs.shape[0],)
+    rs_np, rd_np = np.asarray(rs), np.asarray(rd)
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    plan0 = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=stepsize,
+                             seg=16, tile=64, n_buckets=2,
+                             grid_sizes=(8, 8, 8))
+    plan1 = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=stepsize,
+                             seg=16, tile=64, n_buckets=2,
+                             grid_sizes=(8, 8, 8), tmin_clip=ent)
+    assert plan1.tmin_clip is not None
+    # oracle at the SAME clip: exact equality class, not just "close
+    # to unclipped" -- proves the kernel marches the clipped range
+    ref = np.asarray(_plain_lattice(
+        net, tf, rs, rd, stepsize, steps, False,
+        tmin_in=jnp.asarray(ent)[:, None]).color)
+    got = np.asarray(fused_trace_dvr_bucketed(
+        rs, rd, net, bm, bs, tf.tensor, plan=plan1, engine="mega",
+        stepsize=stepsize, seg=16, tile=64, enable_early_out=False,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    # and the clip itself only drops a ~transparent prefix
+    full = np.asarray(_plain_lattice(net, tf, rs, rd, stepsize, steps,
+                                     False).color)
+    np.testing.assert_allclose(got, full, atol=3e-2)
+    assert full[:, 3].max() > 0.5
+
+
 def test_probe_saturation_planned_truncation():
     """probe_saturation_tmax + plan_ray_buckets(tmax_clip=...) shrinks
     the planned march on a saturating scene and stays within the

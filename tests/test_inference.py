@@ -241,11 +241,19 @@ def test_render_network_texture_tf():
         if pre:
             tf = tf.with_preintegration(resolution=128)
         model = LoadedModel(net, tf, config=cfg)
-        img = np.asarray(model.render_network(cam, w, h, "FUSED",
-                                              interpret=True))
+        # kernel-exactness contract: f32 table, no estimate-based clip
+        img = np.asarray(model.render_network(
+            cam, w, h, "FUSED", interpret=True,
+            saturation_clip=False, table_dtype=jnp.float32))
         ref = np.asarray(trace_dvr(
             rs.reshape(-1, 3), rd.reshape(-1, 3), vol, tf, cfg, steps,
             lattice=True).color).reshape(h, w, 4)
         assert ref[..., 3].max() > 0.5
         np.testing.assert_allclose(img, ref, atol=2e-4,
                                    err_msg=f"pre={pre}")
+        # product defaults (bf16 table + saturation clip): same image
+        # up to the early-out/storage-rounding tolerance class
+        img_d = np.asarray(model.render_network(cam, w, h, "FUSED",
+                                                interpret=True))
+        np.testing.assert_allclose(img_d, ref, atol=5e-3,
+                                   err_msg=f"pre={pre} defaults")

@@ -57,8 +57,8 @@ sat = probe_saturation_tmax(rs, rd, nvol, tf, stepsize=STEP,
                             max_steps=steps, coarse=8, margin_steps=16)
 tmax_c = np.minimum(tmax_g, np.asarray(sat).reshape(-1))
 
-# entry depth: accumulated alpha crosses 1e-3 (coarse=4 for finer
-# entry resolution; margin 0 -> the crossing t itself)
+# entry depth: accumulated alpha crosses 1e-3 (coarse=8, same stride
+# as the saturation probe; margin 0 -> the crossing t itself)
 for thr in (1e-3,):
     ent = probe_saturation_tmax(rs, rd, nvol, tf, stepsize=STEP,
                                 max_steps=steps, coarse=8,
