@@ -106,7 +106,11 @@ def main():
     matrix = np.asarray(camera_matrix(cam))
     s, d = generate_rays(matrix, WIDTH, HEIGHT,
                          fov_y_radians=0.7853981633974483)
-    perm, _inv = block_ray_permutation(WIDTH, HEIGHT, 16, 16)
+    # (seg, tile) = (32, 128) with 16x8 pixel blocks: the round-4 shape
+    # sweep (tools/sweep_mega_shapes.py) measured 230 ms/frame fwd+bwd vs
+    # 255 at the round-3 (32, 256) -- smaller tiles shrink the certified
+    # latent footprint that the resolve/xfold/dtab sections scale with.
+    perm, _inv = block_ray_permutation(WIDTH, HEIGHT, 16, 8)
     rs_np = np.asarray(s).reshape(-1, 3)[perm]
     rd_np = np.asarray(d).reshape(-1, 3)[perm]
 
@@ -116,7 +120,7 @@ def main():
                                  stepsize=STEPSIZE, max_steps=steps,
                                  coarse=8, margin_steps=16)
     plan = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=STEPSIZE,
-                            seg=32, tile=256, n_buckets=3,
+                            seg=32, tile=128, n_buckets=3,
                             grid_sizes=(32, 32, 32), tmax_clip=clip)
     rs, rd = jnp.asarray(rs_np), jnp.asarray(rd_np)
 
@@ -126,7 +130,7 @@ def main():
             def loss_fn(n, t):
                 c = fused_trace_dvr_bucketed(
                     rs_, rd_, n, bm, bs, t, plan=plan_,
-                    stepsize=STEPSIZE, seg=32, tile=256,
+                    stepsize=STEPSIZE, seg=32, tile=128,
                     enable_early_out=True, differentiable=True,
                     latent_mode="boxfeat", table_dtype=jnp.bfloat16,
                     engine="mega")
@@ -149,7 +153,7 @@ def main():
     gate_rd = rd_perm[gs:gs + GATE_RAYS]
     gate_clip = plan.tmax_clip[gs:gs + GATE_RAYS]
     gplan = plan_ray_buckets(gate_rs, gate_rd, bm, bs,
-                             stepsize=STEPSIZE, seg=32, tile=256,
+                             stepsize=STEPSIZE, seg=32, tile=128,
                              n_buckets=1, grid_sizes=(32, 32, 32),
                              tmax_clip=gate_clip)
     gfb = make_fb(gplan, jnp.asarray(gate_rs), jnp.asarray(gate_rd))
@@ -218,7 +222,7 @@ def main():
     # ---- secondary arm: random-weight flagship (round-2 contract) ----
     vol_r, tf_r, _cfg = _build_flagship()
     plan_r = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=STEPSIZE,
-                              seg=32, tile=256, n_buckets=3,
+                              seg=32, tile=128, n_buckets=3,
                               grid_sizes=(32, 32, 32))
     fb_r = make_fb(plan_r, rs, rd)
     _ = float(fb_r(vol_r.network, tf_r.tensor)[0])

@@ -156,58 +156,64 @@ def build_neighborhood_table(grid: Array) -> Array:
 # -- fast in-kernel trig ---------------------------------------------------
 # Mosaic lowers jnp.sin/cos to a full-precision expansion that dominates the
 # forward kernel (measured: 0.43s of a 0.57s kernel is the SnakeAlt cos at
-# 512^2). The fourier features and pre-activations here are bounded
-# (|x| < ~1e3), so a 2-term Cody-Waite reduction mod pi plus odd/even minimax
-# polynomials (degree 7/8, max error ~1e-6 on the reduced range, fitted on
-# Chebyshev nodes) is exact enough for the fused-vs-plain 1e-4 contract at a
-# fraction of the cost. The reference makes the same trade on the SFU
-# (__sinf/__cosf half2 paths, renderer_activations.cuh).
-_PI_HI = 3.140625                 # exact in f32 (12 mantissa bits)
-_PI_MID = 0.0009676535846665502   # f32(pi - _PI_HI)
-_INV_PI = 0.3183098861837907
+# 512^2). Round-4 spelling: a FULL-PERIOD parametrization
+# u = x/(2pi) - round(x/(2pi)) in [-0.5, 0.5] with odd/even polynomials of
+# sin(2 pi u)/cos(2 pi u) fitted on Chebyshev nodes (degree 9/10, max error
+# 5.9e-6 / 7.8e-7 on the period -- inside the fused-vs-plain 1e-4 contract).
+# Versus the previous mod-pi Cody-Waite scheme this removes the entire
+# quadrant sign-recovery chain (2nd floor + 3 arith + final sign multiply,
+# ~5 of ~13 VPU ops per call) for one extra FMA of polynomial -- the act
+# section is the largest VPU line of the trained-scene cost map (PERF.md
+# round-3/4). The reference makes the same trade on the SFU (__sinf/__cosf
+# half2 paths, renderer_activations.cuh). Inputs are bounded (|x| < ~1e3,
+# fourier features and pre-activations); the f32 reduction keeps the angle
+# error below ~6e-5 there.
+_INV_TWO_PI = 0.15915494309189535
+
+# sin(2 pi u) = u * poly(u^2), u in [-0.5, 0.5]; fitted max err 5.9e-6
+_SINP = (6.283055999, -41.33122495, 81.36696825, -74.47881939, 32.78284816)
+# cos(2 pi u) = poly(u^2); fitted max err 7.8e-7
+_COSP = (0.9999992229, -19.73898277, 64.92873485, -85.27248905,
+         58.79445908, -21.07745425)
+
+
+def _period_reduce(x: Array) -> Array:
+    # floor(u + 0.5), not jnp.round: round-half-to-even lowers to a
+    # multi-op select chain on Mosaic (measured +40% whole-kernel);
+    # the tie difference only moves the wrap point between u = -0.5 and
+    # +0.5, where the periodic polynomials agree.
+    u = x * _INV_TWO_PI
+    return u - jnp.floor(u + 0.5)
+
+
+def _sin_poly(u: Array) -> Array:
+    t = u * u
+    return u * (_SINP[0] + t * (_SINP[1] + t * (
+        _SINP[2] + t * (_SINP[3] + t * _SINP[4]))))
+
+
+def _cos_poly(u: Array) -> Array:
+    t = u * u
+    return _COSP[0] + t * (_COSP[1] + t * (_COSP[2] + t * (
+        _COSP[3] + t * (_COSP[4] + t * _COSP[5]))))
 
 
 def _fast_sincos(x: Array):
-    """(sin x, cos x) via shared range reduction; f32 in, f32 out."""
-    q = jnp.floor(x * _INV_PI + 0.5)
-    r = x - q * _PI_HI
-    r = r - q * _PI_MID            # r in [-pi/2, pi/2]
-    m = q * 0.5
-    sign = 1.0 - 4.0 * (m - jnp.floor(m))               # (-1)^q
-    r2 = r * r
-    sp = r * (1.0 + r2 * (-0.1666565 + r2 * (
-        8.31203e-3 + r2 * -1.8483e-4)))
-    cp = 1.0 + r2 * (-0.499999303 + r2 * (4.16639475e-2 + r2 * (
-        -1.38556588e-3 + r2 * 2.31890533e-5)))
-    return sign * sp, sign * cp
+    """(sin x, cos x) via one shared period reduction; f32 in/out."""
+    u = _period_reduce(x)
+    return _sin_poly(u), _cos_poly(u)
 
 
 def _fast_sin(x: Array) -> Array:
     """sin only: the cos polynomial chain is omitted at the source (not
     left to DCE) -- this is the hot path of Sine/Snake activations."""
-    q = jnp.floor(x * _INV_PI + 0.5)
-    r = x - q * _PI_HI
-    r = r - q * _PI_MID
-    m = q * 0.5
-    sign = 1.0 - 4.0 * (m - jnp.floor(m))
-    r2 = r * r
-    sp = r * (1.0 + r2 * (-0.1666565 + r2 * (
-        8.31203e-3 + r2 * -1.8483e-4)))
-    return sign * sp
+    return _sin_poly(_period_reduce(x))
 
 
 def _fast_cos(x: Array) -> Array:
     """cos only: the sin polynomial chain is omitted at the source (not
     left to DCE) -- this is the hot path of SnakeAlt activations."""
-    q = jnp.floor(x * _INV_PI + 0.5)
-    r = x - q * _PI_HI
-    r = r - q * _PI_MID
-    m = q * 0.5
-    sign = 1.0 - 4.0 * (m - jnp.floor(m))
-    r2 = r * r
-    cp = 1.0 + r2 * (-0.499999303 + r2 * (4.16639475e-2 + r2 * (
-        -1.38556588e-3 + r2 * 2.31890533e-5)))
-    return sign * cp
+    return _cos_poly(_period_reduce(x))
 
 
 def block_ray_permutation(width: int, height: int,

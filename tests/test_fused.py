@@ -1795,53 +1795,56 @@ def test_mega_preint2d_tf_matches_lattice_plain():
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
-def test_mega_camera_pose_optimization():
-    """End-to-end screen-space CAMERA optimization through the fused
-    megakernel (the reference's differentiable-camera use case,
-    camera.h Parameter<T>): gradient-descend a perturbed camera matrix
-    toward a target render; the pose loss must drop substantially."""
-    import optax
-    from fvsrn_tpu.camera import camera_matrix, generate_rays
+def test_mega_camera_pose_recovery():
+    """End-to-end CAMERA pose recovery through the fused megakernel
+    (the reference's differentiable-camera use case, camera.h
+    Parameter<T>): Levenberg-Marquardt over the 3-DOF sphere
+    parametrization drives the mega engine's forward renders toward a
+    perturbed target pose.
+
+    Round-4 redesign of the retired ``test_mega_camera_pose_
+    optimization``: that test Adam-descended a RAW perturbed 3x3 camera
+    matrix and failed -- diagnosis (tools/debug_pose_opt.py, round-4
+    logs) showed the plain ORACLE diverges on the same problem with
+    exact gradients (Adam's per-parameter scaling random-walks the
+    weakly-observable yaw axis; the 9-DOF matrix adds gauge freedom),
+    i.e. the optimization problem was ill-posed, not the gradients --
+    the fused-vs-oracle camera-matrix gradient equality tests above
+    pin those. The product recipe (fvsrn_tpu/train/pose.py) is LM +
+    fixed supersampling jitter, which is monotone by construction;
+    full convergence of the recipe is asserted on the fast oracle in
+    tests/test_pose.py, and this test pins the mega engine end-to-end
+    at an interpret-mode-affordable size."""
     from fvsrn_tpu.ops.fused_dvr import certify_boxfeat
     from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    from fvsrn_tpu.train.pose import make_pose_render, recover_pose
     net, tf, _rs, _rd = _scene(True, seed=31)
-    stepsize = 1 / 32
+    stepsize = 1 / 24
     steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
     bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
     fov = 0.7853981633974483
-    m_true = jnp.asarray(camera_matrix(
-        CameraOnASphere.make(pitch=0.3, yaw=0.7, distance=1.6)))
-    m0 = m_true + 0.05 * jax.random.normal(
-        jax.random.PRNGKey(0), m_true.shape)
-    s0, d0 = generate_rays(np.asarray(m0), 8, 8, fov_y_radians=fov)
-    spec = certify_boxfeat(
-        np.asarray(s0).reshape(-1, 3), np.asarray(d0).reshape(-1, 3),
-        (8, 8, 8), bm, bs, stepsize=stepsize, max_steps=steps,
-        seg=16, tile=64, margin=4)   # extra margin: the pose moves
 
-    def render(m):
-        s, d = generate_rays(m, 8, 8, fov_y_radians=fov)
+    def render_rays(s, d):
+        spec = certify_boxfeat(
+            np.asarray(s), np.asarray(d), (8, 8, 8), bm, bs,
+            stepsize=stepsize, max_steps=steps, seg=8, tile=256,
+            margin=2)
         return mega_trace_dvr(
-            s.reshape(-1, 3), d.reshape(-1, 3), net, bm, bs, tf.tensor,
-            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
-            enable_early_out=False, differentiable=True,
-            ray_grads=True, subbox=spec, interpret=True)
+            s, d, net, bm, bs, tf.tensor, stepsize=stepsize,
+            max_steps=steps, seg=8, tile=256, enable_early_out=False,
+            differentiable=False, subbox=spec, interpret=True)
 
-    target = jax.lax.stop_gradient(render(m_true))
-
-    def loss(m):
-        return jnp.mean((render(m) - target) ** 2)
-
-    opt = optax.adam(3e-3)
-    state = opt.init(m0)
-    m = m0
-    l0 = float(loss(m0))
-    grad_fn = jax.value_and_grad(loss)
-    for _ in range(30):
-        l, g = grad_fn(m)
-        upd, state = opt.update(g, state)
-        m = optax.apply_updates(m, upd)
-    l1 = float(loss(m))
-    assert l1 < 0.3 * l0, (l0, l1)
-    assert float(jnp.abs(m - m_true).max()) \
-        < float(jnp.abs(m0 - m_true).max())
+    render = make_pose_render(render_rays, 16, 16, fov_y_radians=fov,
+                              supersample=2)
+    pyd_true = np.asarray([0.3, 0.7, 1.6], np.float32)
+    target = render(jnp.asarray(pyd_true))
+    pert = np.asarray([-0.04, 0.05, -0.03], np.float32)
+    res = recover_pose(render, target, pyd_true + pert, iterations=7,
+                       fd_mode="forward")
+    e0 = float(np.abs(pert).max())
+    e1 = float(np.abs(res.pyd - pyd_true).max())
+    # measured at this config: cost 3.0e-3 -> 3.6e-4, err 0.050 -> 0.031
+    # (full-resolution convergence is the oracle test's /demo's job)
+    assert res.cost < 0.45 * res.cost0, (res.cost0, res.cost)
+    assert e1 < 0.8 * e0, (e0, e1)
+    assert all(b <= a + 1e-12 for a, b in zip(res.costs, res.costs[1:]))

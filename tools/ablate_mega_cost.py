@@ -110,8 +110,10 @@ def main():
         kind = "fwd+bwd" if bwd else "fwd"
         base = bench(f"[{kind}] full", (), bwd=bwd)
         for seam in ("l1mm", "hidmm", "chainmm", "act", "fourier",
-                     "resolve", "wzy", "xfold", "dtab"):
-            if not bwd and seam in ("chainmm", "dtab"):
+                     "resolve", "wzy", "xfold", "dtab",
+                     "blendadj", "tfadj", "wgrad"):
+            if not bwd and seam in ("chainmm", "dtab", "blendadj",
+                                    "tfadj", "wgrad"):
                 continue
             dt = bench(f"[{kind}] no-{seam}", (seam,), bwd=bwd)
             print(f"    -> {seam} share {1000*(base-dt):+.1f} ms",
