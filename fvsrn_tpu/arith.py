@@ -1,0 +1,73 @@
+"""ctypes bindings for the native adaptive arithmetic bitplane coder
+(fvsrn_tpu/native/arith.cpp) -- the entropy stage of the compression
+tower (reference: the tthresh arithmetic coder + RLE the reference
+vendors, compression/src/compression.cpp:1-821)."""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .volume import lz4io
+
+
+def available() -> bool:
+    lib = lz4io._load()
+    return lib is not None and hasattr(lib, "fv_ac_encode_planes")
+
+
+def _lib():
+    lib = lz4io._load()
+    if lib is None or not hasattr(lib, "fv_ac_encode_planes"):
+        raise RuntimeError("native arithmetic coder unavailable "
+                           f"({lz4io._build_error})")
+    if lib.fv_ac_encode_planes.restype != ctypes.c_int:
+        pass
+    lib.fv_ac_encode_planes.restype = ctypes.c_int
+    lib.fv_ac_encode_planes.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int]
+    lib.fv_ac_decode_planes.restype = ctypes.c_int
+    lib.fv_ac_decode_planes.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int]
+    return lib
+
+
+def encode_planes(mag: np.ndarray, sign: np.ndarray, nbits: int) -> bytes:
+    """Entropy-code |coefficients| (uint64) + signs over ``nbits``
+    bitplanes MSB-first with adaptive significance/refinement/sign
+    contexts. Returns the payload."""
+    lib = _lib()
+    mag = np.ascontiguousarray(mag, np.uint64)
+    sign = np.ascontiguousarray(sign, np.uint8)
+    n = mag.size
+    cap = max(1024, n * max(1, nbits) // 4 + n + 4096)
+    out = np.empty(cap, np.uint8)
+    m = lib.fv_ac_encode_planes(
+        mag.ctypes.data, sign.ctypes.data, n, int(nbits),
+        out.ctypes.data, cap)
+    if m < 0:
+        # pathological expansion: retry with a worst-case buffer
+        cap = n * max(1, nbits) + 4096
+        out = np.empty(cap, np.uint8)
+        m = lib.fv_ac_encode_planes(
+            mag.ctypes.data, sign.ctypes.data, n, int(nbits),
+            out.ctypes.data, cap)
+        if m < 0:
+            raise RuntimeError("arithmetic coder output overflow")
+    return out[:m].tobytes()
+
+
+def decode_planes(payload: bytes, n: int, nbits: int):
+    """Inverse of :func:`encode_planes` -> (mag uint64 (n,), sign uint8
+    (n,))."""
+    lib = _lib()
+    mag = np.zeros(n, np.uint64)
+    sign = np.zeros(n, np.uint8)
+    rc = lib.fv_ac_decode_planes(payload, len(payload),
+                                 mag.ctypes.data, sign.ctypes.data,
+                                 n, int(nbits))
+    if rc != 0:
+        raise RuntimeError("arithmetic decode failed")
+    return mag, sign

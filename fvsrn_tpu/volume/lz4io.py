@@ -26,10 +26,13 @@ def _load():
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        src = os.path.join(_NATIVE_DIR, "lz4.cpp")
+        srcs = [os.path.join(_NATIVE_DIR, f)
+                for f in ("lz4.cpp", "arith.cpp")]
         try:
             if (not os.path.exists(_LIB_PATH)
-                    or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+                    or os.path.getmtime(_LIB_PATH)
+                    < max(os.path.getmtime(s) for s in srcs
+                          if os.path.exists(s))):
                 subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                                check=True, capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)

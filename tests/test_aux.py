@@ -186,3 +186,55 @@ def test_compression_teaser_includes_tthresh():
     vol = np.sin(4 * g[0] + 3 * g[1] * g[2]).astype(np.float32)
     out = compression_teaser(vol, network_bytes=1000)
     assert any(k.startswith("tthresh@") for k in out)
+
+
+def test_arith_coder_roundtrip_exact():
+    """Native adaptive arithmetic bitplane coder: exact round-trip and
+    real compression on sparse magnitudes (the TThresh core regime)."""
+    from fvsrn_tpu import arith
+    if not arith.available():
+        import pytest
+        pytest.skip("native coder unavailable")
+    rng = np.random.default_rng(1)
+    mag = (rng.pareto(1.5, 50000) * 20).astype(np.uint64)
+    mag[rng.random(50000) < 0.8] = 0
+    sign = (rng.random(50000) < 0.5).astype(np.uint8)
+    sign[mag == 0] = 0
+    nbits = max(1, int(mag.max()).bit_length())
+    payload = arith.encode_planes(mag, sign, nbits)
+    m2, s2 = arith.decode_planes(payload, mag.size, nbits)
+    np.testing.assert_array_equal(m2, mag)
+    np.testing.assert_array_equal(s2[mag != 0], sign[mag != 0])
+    assert len(payload) < mag.size * nbits / 8 / 2  # beats raw planes 2x
+
+
+def test_dwt_perfect_reconstruction():
+    """CDF 9/7 lifting is exactly invertible (before quantization)."""
+    from fvsrn_tpu.compression import _dwt3, _idwt3
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((32, 16, 24)).astype(np.float32)
+    c = _dwt3(v, 2)
+    rec = _idwt3(c, 2)
+    np.testing.assert_allclose(rec, v, atol=1e-10)
+
+
+def test_dwt_codec_roundtrip_and_rate():
+    """DWT + quantize + arithmetic coding: distortion tracks the step,
+    and smooth fields compress far below raw size (the cudaCompress
+    pipeline behavior, compression/src/compression.cpp compressCUDA*)."""
+    from fvsrn_tpu.compression import compress_dwt, decompress_dwt
+    vol = np.asarray(create_implicit_grid(32, "SPHERE"))
+    r_fine = compress_dwt(vol, step=1e-3)
+    r_coarse = compress_dwt(vol, step=1e-2)
+    assert r_fine.psnr > r_coarse.psnr > 30
+    assert r_fine.compressed_bytes > r_coarse.compressed_bytes
+    assert r_coarse.compressed_bytes < vol.nbytes / 10
+    rec = decompress_dwt(r_fine.payload)
+    assert rec.shape == vol.shape
+    assert np.abs(rec - vol).max() < 0.05
+
+
+def test_teaser_includes_dwt():
+    vol = np.asarray(create_implicit_grid(16, "SPHERE"))
+    out = compression_teaser(vol, network_bytes=2048)
+    assert any(k.startswith("dwt@") for k in out)
