@@ -40,7 +40,8 @@ input; adjoint normals + Lambert/Phong shading (``need_normals``/
 ``brdf``); static or time/ensemble-keyframed latent grids (pre-lerped
 per frame); isosurface first-crossing (``iso_value``); per-ray
 ``tmax_clip``/``tmin_clip``. The differentiable backward covers
-density-output + piecewise TF (fused_dvr_bwd); other modes
+density AND rgbo outputs x piecewise AND texture-LUT TFs
+(fused_dvr_bwd); preintegrated/gaussian TFs and shaded losses
 differentiate via the plain JAX path in fvsrn_tpu.raytracer.dvr.
 1D latent time/ensemble VECTORS (interp1D conditioning) are not fused
 -- they route to the plain path.
@@ -771,6 +772,7 @@ def fused_trace_iso(ray_start: Array, ray_dir: Array, net,
 def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
                              box_min, box_size, tf_tensor: Array, *,
                              plan: RayBucketPlan, engine: str = "scan",
+                             segment_active_groups=None,
                              **kwargs):
     """Run :func:`fused_trace_dvr` per march-length bucket (see
     :func:`plan_ray_buckets`) and reassemble the output in the input ray
@@ -780,7 +782,12 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
     ``engine="mega"`` runs each bucket through the single-call
     megakernel (:func:`fvsrn_tpu.ops.fused_mega.mega_trace_dvr`) instead
     of the per-segment scan -- requires a VMEM-resident latent slab and
-    boxfeat (lattice) semantics."""
+    boxfeat (lattice) semantics.
+
+    ``segment_active_groups`` (mega only): per-group (tiles, segments)
+    TF-occupancy masks from
+    :func:`fvsrn_tpu.ops.occupancy.plan_segment_occupancy` -- empty-
+    space segments are culled before the MLP runs."""
     kwargs.pop("max_steps", None)
     kwargs.pop("subbox", None)
     if engine == "mega":
@@ -792,16 +799,20 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
             raise ValueError("plan carries fine specs; pass the same "
                              "resolve_groups it was planned with")
 
-        def trace(rs_, rd_, steps_, spec_, fine_, clip_, tminc_):
+        def trace(rs_, rd_, steps_, spec_, fine_, clip_, tminc_, sa_):
             return mega_trace_dvr(rs_, rd_, net, box_min, box_size,
                                   tf_tensor, max_steps=steps_,
                                   subbox=spec_, subbox_fine=fine_,
                                   tmax_clip=clip_, tmin_clip=tminc_,
+                                  segment_active=sa_,
                                   **kwargs)
     else:
         kwargs.pop("resolve_groups", None)
+        if segment_active_groups is not None:
+            raise NotImplementedError(
+                "segment_active requires engine='mega'")
 
-        def trace(rs_, rd_, steps_, spec_, fine_, clip_, tminc_):
+        def trace(rs_, rd_, steps_, spec_, fine_, clip_, tminc_, sa_):
             return fused_trace_dvr(rs_, rd_, net, box_min, box_size,
                                    tf_tensor, max_steps=steps_,
                                    subbox=spec_, tmax_clip=clip_,
@@ -814,9 +825,12 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
     ofs = plan.dead
     fines = (plan.group_specs_fine if plan.group_specs_fine
              else (0,) * len(plan.group_sizes))
-    for size, g_steps, spec, fine in zip(plan.group_sizes,
-                                         plan.group_steps,
-                                         plan.group_specs, fines):
+    sas = (segment_active_groups if segment_active_groups is not None
+           else (None,) * len(plan.group_sizes))
+    for size, g_steps, spec, fine, sa in zip(plan.group_sizes,
+                                             plan.group_steps,
+                                             plan.group_specs, fines,
+                                             sas):
         clip_g = (jnp.asarray(plan.tmax_clip[ofs:ofs + size])
                   if plan.tmax_clip is not None else None)
         tminc_g = (jnp.asarray(plan.tmin_clip[ofs:ofs + size])
@@ -824,7 +838,7 @@ def fused_trace_dvr_bucketed(ray_start: Array, ray_dir: Array, net,
         outs.append(trace(
             jax.lax.dynamic_slice_in_dim(rs, ofs, size),
             jax.lax.dynamic_slice_in_dim(rd, ofs, size),
-            g_steps, spec, fine, clip_g, tminc_g))
+            g_steps, spec, fine, clip_g, tminc_g, sa))
         ofs += size
     if plan.dead:
         dead_out = jax.tree.map(
@@ -1811,32 +1825,7 @@ def _march_epilogue(*, value, dv_dy, pack, rows_t, x, rays, tval, kk,
                         preferred_element_type=jnp.float32
                         ).reshape(seg, tile) for c in range(4)]
 
-    def lut4(tbl, s_flat, r, convention):
-        """Lerped 1D rgba-table lookup as a weight-matrix matmul (the
-        TPU answer to the reference's 1D TF texture fetch,
-        renderer_tf_texture.cuh:41-56): Mosaic has no per-lane gather,
-        but a (rows, N) interpolation-weight one-hot costs one compare
-        pass and the contraction runs on the MXU. tbl (rows, 4) value,
-        s_flat (1, N) -> (4, N)."""
-        if convention == "texture":        # x = s*r - 0.5, clamped ends
-            x = s_flat * float(r) - 0.5
-            i0 = jnp.floor(x)
-            f = x - i0
-            lo = jnp.clip(i0, 0.0, float(r - 1))
-            hi = jnp.clip(i0 + 1.0, 0.0, float(r - 1))
-        else:                              # cumulative: x = clip(s)*r'
-            x = jnp.clip(s_flat, 0.0, 1.0) * float(r - 1)
-            lo = jnp.clip(jnp.floor(x), 0.0, float(r - 2))
-            f = x - lo
-            hi = lo + 1.0
-        iot = jax.lax.broadcasted_iota(
-            jnp.int32, (tbl.shape[0], s_flat.shape[1]), 0).astype(
-            jnp.float32)
-        w = jnp.where(iot == lo, 1.0 - f, 0.0) \
-            + jnp.where(iot == hi, f, 0.0)
-        return jax.lax.dot_general(
-            tbl.astype(jnp.float32), w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    lut4 = _lut4      # module-level helper, shared with the backward
 
     if rgbo:
         # color field: skip the TF, scale absorption by the stepsize
@@ -2047,11 +2036,55 @@ def _march_epilogue(*, value, dv_dy, pack, rows_t, x, rays, tval, kk,
     return jnp.concatenate(rows, axis=0)
 
 
+def _lut4_weights(s_flat: Array, r: int, convention: str):
+    """Index/fraction geometry of the lerped 1D TF texture fetch
+    (shared by the forward :func:`_lut4` and the backward's LUT
+    adjoint). Returns (lo, hi, f, dx_ds): lo/hi (1, N) f32 texel
+    indices, f the lerp fraction, dx_ds the constant d(index)/d(s)
+    (clamped ends get zero slope automatically since tbl[hi]-tbl[lo]
+    vanishes when lo == hi)."""
+    if convention == "texture":        # x = s*r - 0.5, clamped ends
+        x = s_flat * float(r) - 0.5
+        i0 = jnp.floor(x)
+        f = x - i0
+        lo = jnp.clip(i0, 0.0, float(r - 1))
+        hi = jnp.clip(i0 + 1.0, 0.0, float(r - 1))
+        dx_ds = float(r)
+    else:                              # cumulative: x = clip(s)*r'
+        x = jnp.clip(s_flat, 0.0, 1.0) * float(r - 1)
+        lo = jnp.clip(jnp.floor(x), 0.0, float(r - 2))
+        f = x - lo
+        hi = lo + 1.0
+        dx_ds = float(r - 1)
+    return lo, hi, f, dx_ds
+
+
+def _lut4(tbl: Array, s_flat: Array, r: int, convention: str) -> Array:
+    """Lerped 1D rgba-table lookup as a weight-matrix matmul (the
+    TPU answer to the reference's 1D TF texture fetch,
+    renderer_tf_texture.cuh:41-56): Mosaic has no per-lane gather,
+    but a (rows, N) interpolation-weight one-hot costs one compare
+    pass and the contraction runs on the MXU. tbl (rows, 8) value,
+    s_flat (1, N) -> (8, N)."""
+    lo, hi, f, _ = _lut4_weights(s_flat, r, convention)
+    iot = jax.lax.broadcasted_iota(
+        jnp.int32, (tbl.shape[0], s_flat.shape[1]), 0).astype(
+        jnp.float32)
+    w = jnp.where(iot == lo, 1.0 - f, 0.0) \
+        + jnp.where(iot == hi, f, 0.0)
+    return jax.lax.dot_general(
+        tbl.astype(jnp.float32), w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _pad_tf(tf_tensor: Array) -> Array:
-    """(R, 5) -> (R, 8) lane-pad for a clean VMEM layout."""
+    """(R, C<=8) -> (R, 8) lane-pad for a clean VMEM layout (the
+    backward's texture-LUT adjoint relies on the fixed 8 width)."""
     t = jnp.asarray(tf_tensor, jnp.float32)
-    r = t.shape[0]
-    return jnp.concatenate([t, jnp.zeros((r, 3), t.dtype)], axis=1)
+    r, c = t.shape
+    if c == 8:
+        return t
+    return jnp.concatenate([t, jnp.zeros((r, 8 - c), t.dtype)], axis=1)
 
 
 def _prepare_tf(tf_tensor: Array, tf_mode: str, tf_pre):
@@ -2060,8 +2093,12 @@ def _prepare_tf(tf_tensor: Array, tf_mode: str, tf_pre):
     below the plain table; reference: renderer_tf_texture.cuh:62-84)."""
     if tf_mode == "piecewise":
         return _pad_tf(tf_tensor), tf_tensor.shape[0], 0
-    if tf_mode in ("texture", "gaussian"):
-        return (jnp.asarray(tf_tensor, jnp.float32),  # (R, 4) | (G, 6)
+    if tf_mode == "texture":
+        # lane-pad to (R, 8): the backward's LUT adjoint accumulates
+        # the d_table contraction at the fixed 8 width
+        return _pad_tf(tf_tensor), tf_tensor.shape[0], 0
+    if tf_mode == "gaussian":
+        return (jnp.asarray(tf_tensor, jnp.float32),  # (G, 6)
                 tf_tensor.shape[0], 0)
     if tf_mode == "preint1d":
         if tf_pre is None:
@@ -2360,17 +2397,19 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         n_seg = bf_spec.n_seg
 
     rgbo = not net.output_mode.startswith("density")
-    if differentiable and tf_mode != "piecewise":
+    if differentiable and tf_mode not in ("piecewise", "texture") \
+            and not rgbo:
         raise NotImplementedError(
-            "differentiable fused path: piecewise TF only (texture/"
-            "preintegrated TFs train through the plain-JAX oracle)")
+            "differentiable fused path: piecewise/texture TFs "
+            "(preintegrated/gaussian TFs train through the plain-JAX "
+            "oracle)")
     if iso_value is not None and (differentiable or need_normals or rgbo):
         raise ValueError("fused iso marching: forward-only density "
                          "networks (shading happens outside the kernel)")
-    if differentiable and (need_normals or rgbo):
+    if differentiable and need_normals:
         raise NotImplementedError(
-            "differentiable fused path: density networks without "
-            "normals/shading (use the plain-JAX oracle for those)")
+            "differentiable fused path: no normals/shading (use the "
+            "plain-JAX oracle for shaded losses)")
     if need_normals and rgbo:
         raise ValueError("normals are only defined for density networks")
     brdf_t = _brdf_tuple(brdf, need_normals)

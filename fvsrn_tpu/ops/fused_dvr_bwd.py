@@ -99,8 +99,9 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         stash_ref = refs[0]
         refs = refs[1:]
     assert not need_normals and not brdf and iso_value is None \
-        and tf_mode == "piecewise", \
-        "differentiable fused path: piecewise TF, no normals/shading/iso"
+        and tf_mode in ("piecewise", "texture"), \
+        "differentiable fused path: piecewise/texture TF, no normals/" \
+        "shading/iso"
     carry_ref, dcarry_ref = refs[0], refs[1]
     (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref, w1cos_ref, w1sin_ref,
      w1lat_ref, b1_ref) = refs[2:10]
@@ -181,7 +182,7 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         density_min=density_min, density_max=density_max,
         stepsize=stepsize, early_alpha=early_alpha,
         compute_dtype=compute_dtype, has_direction=has_direction,
-        latent_boxfeat=bool(latent_boxfeat))
+        latent_boxfeat=bool(latent_boxfeat), tf_mode=tf_mode)
     dcarry_in_ref[:] = dcarry_rows
     _emit_dlat(d_lat, wrep, oh, bf_aux, rows_ref,
                dlat_ref=dlat_ref, dslot_ref=dslot_ref,
@@ -198,7 +199,8 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
                      density_min, density_max, stepsize, early_alpha,
                      compute_dtype, has_direction,
                      latent_boxfeat: bool, fourier_rot=None,
-                     want_ray_grads: bool = False):
+                     want_ray_grads: bool = False,
+                     tf_mode: str = "piecewise"):
     """Layout-agnostic adjoint of one (ray-tile, segment): forward MLP
     replay, TF replay, blending replay, reverse compositing chain, TF
     control-point gradients, and transposed-weight MLP adjoint with
@@ -309,14 +311,7 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
             hs.append(hk)
             dacts.append(dk)
         pres = None
-    # M=1 head on the VPU (must replay the forward's exact math)
-    y = jnp.sum(wout_ref[:].T.astype(f32) * hs[-1].astype(f32),
-                axis=0, keepdims=True) + bout_ref[:].astype(f32)
-    if output_mode == "density:direct":
-        value = jnp.clip(y, 0.0, 1.0)
-    else:
-        value = jax.nn.sigmoid(y)
-
+    rgbo_out = not output_mode.startswith("density")
     inv_range = 1.0 / (density_max - density_min)
     # Dense layout: with step-independent gating (differentiable mode
     # forces early_alpha=2.0 so `valid` never reads the running alpha)
@@ -326,31 +321,77 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
     # chain and its adjoint become closed-form log-depth scans
     # (measured: the sequential form was ~40% of the whole backward).
     dense = early_alpha >= 1.5
-    if dense:
-        value2 = value.reshape(seg, tile)
+    assert dense or (not rgbo_out and tf_mode == "piecewise"), \
+        "fused backward: rgbo/texture modes require the dense path " \
+        "(enable_early_out=False)"
+    n_all = x.shape[1]
+    # (4, 8) row selector: Mosaic cannot reshape sliced rows of a
+    # (4, N)/(8, N) flat, so rows come out via one-hot matmuls (same
+    # trick as the forward epilogue's rows4)
+    eye48 = (jax.lax.broadcasted_iota(jnp.int32, (4, 8), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (4, 8), 1)
+             ).astype(f32)
+    knots = fracs = sels = None
+    value2 = density2 = d_clip = None
+    if rgbo_out:
+        # 4-channel color head, TF skipped (reference: renderer_ray_
+        # evaluation_stepping_dvr.cuh:105-111 SKIP_TRANSFER_FUNCTION;
+        # output transforms network.py:171-237)
+        y = mm(wout_ref[:], hs[-1]) + bout_ref[:].astype(f32)  # (4, N)
+        out4, _ = _fd._apply_output_T(output_mode, y)
+        rgba = [jnp.dot(eye48[c:c + 1, 0:out4.shape[0]], out4,
+                        preferred_element_type=f32).reshape(seg, tile)
+                for c in range(4)]
+        absorption = rgba[3] * stepsize
     else:
-        value2 = value
-    density2 = (value2 - density_min) * inv_range
-    d_clip = jnp.clip(density2, 0.0, 1.0)
+        # M=1 head on the VPU (must replay the forward's exact math)
+        y = jnp.sum(wout_ref[:].T.astype(f32) * hs[-1].astype(f32),
+                    axis=0, keepdims=True) + bout_ref[:].astype(f32)
+        if output_mode == "density:direct":
+            value = jnp.clip(y, 0.0, 1.0)
+        else:
+            value = jax.nn.sigmoid(y)
+        if dense:
+            value2 = value.reshape(seg, tile)
+        else:
+            value2 = value
+        density2 = (value2 - density_min) * inv_range
+        d_clip = jnp.clip(density2, 0.0, 1.0)
 
-    knots = [tf_ref[k, 4] for k in range(tf_points)]
-    interval = jnp.zeros_like(d_clip, dtype=jnp.int32)
-    for k in range(1, tf_points - 1):
-        interval += (knots[k] <= d_clip).astype(jnp.int32)
-    rgba = [jnp.zeros_like(d_clip) for _ in range(4)]
-    fracs = []
-    sels = []
-    for k in range(tf_points - 1):
-        p0 = knots[k]
-        p1 = knots[k + 1]
-        frac = (jnp.clip(d_clip, p0, p1) - p0) / (p1 - p0)
-        sel = interval == k
-        fracs.append(frac)
-        sels.append(sel)
-        for c in range(4):
-            v = tf_ref[k, c] + frac * (tf_ref[k + 1, c] - tf_ref[k, c])
-            rgba[c] = jnp.where(sel, v, rgba[c])
-    absorption = rgba[3] * stepsize
+        if tf_mode == "piecewise":
+            knots = [tf_ref[k, 4] for k in range(tf_points)]
+            interval = jnp.zeros_like(d_clip, dtype=jnp.int32)
+            for k in range(1, tf_points - 1):
+                interval += (knots[k] <= d_clip).astype(jnp.int32)
+            rgba = [jnp.zeros_like(d_clip) for _ in range(4)]
+            fracs = []
+            sels = []
+            for k in range(tf_points - 1):
+                p0 = knots[k]
+                p1 = knots[k + 1]
+                frac = (jnp.clip(d_clip, p0, p1) - p0) / (p1 - p0)
+                sel = interval == k
+                fracs.append(frac)
+                sels.append(sel)
+                for c in range(4):
+                    v = tf_ref[k, c] + frac * (tf_ref[k + 1, c]
+                                               - tf_ref[k, c])
+                    rgba[c] = jnp.where(sel, v, rgba[c])
+            absorption = rgba[3] * stepsize
+        elif tf_mode == "texture":
+            # 1D TF texture replay (mirrors _march_epilogue's lut4
+            # path; reference: renderer_tf_texture.cuh:41-56)
+            d_clip_flat = d_clip.reshape(1, n_all)
+            lut_flat = _fd._lut4(tf_ref[0:tf_points, :], d_clip_flat,
+                                 tf_points, "texture")          # (8, N)
+            rgba = [jnp.dot(eye48[c:c + 1], lut_flat,
+                            preferred_element_type=f32
+                            ).reshape(seg, tile) for c in range(4)]
+            rgba[3] = rgba[3] * stepsize    # alpha column pre-scaled
+            absorption = rgba[3]
+        else:
+            raise NotImplementedError(
+                f"fused backward: tf_mode {tf_mode!r}")
 
     d_rgb = [dcarry[0:1, :], dcarry[1:2, :], dcarry[2:3, :]]
     # d_prev (carry row 4) only matters for preintegrating TFs; the
@@ -362,7 +403,10 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         if latent_boxfeat:
             # lattice lower bound: no samples before the ray's k0
             valid = valid & (kk.reshape(seg, tile) >= tmin)
-        require = valid & (value2 >= density_min)
+        if rgbo_out:
+            require = valid        # color field: no density gate
+        else:
+            require = valid & (value2 >= density_min)
         absn = jnp.where(require, absorption, 0.0)  # (seg, tile)
         if blend_beer:
             ca = 1.0 - jnp.exp(-absn)
@@ -420,7 +464,11 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
                 d_absn = d_ca * jnp.exp(-absn)
             else:
                 d_absn = d_ca * (absn < 1.0)
-            d_rgba.append(d_absn * stepsize)
+            # cotangent wrt rgba[3]: piecewise/rgbo scale by stepsize
+            # in the blend (absorption = rgba[3]*h); the texture path's
+            # rgba[3] IS the pre-scaled absorption
+            d_rgba.append(d_absn * (1.0 if tf_mode == "texture"
+                                    and not rgbo_out else stepsize))
             d_alpha0 = P[0:1, :] * d_alpha_in + Q[0:1, :]
             dcarry_rows = jnp.concatenate(
                 d_rgb + [d_alpha0, jnp.zeros((4, tile), f32)], axis=0)
@@ -478,43 +526,113 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         dcarry_rows = jnp.concatenate(
             d_rgb + [d_alpha, jnp.zeros((4, tile), f32)], axis=0)
 
-    # TF adjoint (reference: piecewise TF control points; gradients for
-    # colors/opacity and knot positions, interior-gated subgradients)
-    @pl.when(first)
-    def _init_tf():
-        for k in range(tf_points):
-            for c in range(8):
-                dtf_ref[k, c] = jnp.float32(0.0)
+    # TF adjoint + head cotangent per mode
+    if rgbo_out:
+        # no TF: zero its gradient once, chain d_rgba -> d_y (4, N)
+        # through the output transforms (network.py:171-237 adjoints)
+        @pl.when(first)
+        def _init_tf():
+            for k in range(tf_ref.shape[0]):
+                for c in range(8):
+                    dtf_ref[k, c] = jnp.float32(0.0)
 
-    d_dclip = jnp.zeros_like(d_clip)
-    for k in (range(tf_points - 1) if "tfadj" not in _ABLATE else ()):
-        p0 = knots[k]
-        p1 = knots[k + 1]
-        sel = sels[k]
-        frac = fracs[k]
-        interior = sel & (d_clip > p0) & (d_clip < p1)
-        d_frac = jnp.zeros_like(d_clip)
-        for c in range(4):
-            dc = jnp.where(sel, d_rgba[c], 0.0)
-            dtf_ref[k, c] += jnp.sum(dc * (1.0 - frac))
-            dtf_ref[k + 1, c] += jnp.sum(dc * frac)
-            d_frac += dc * (tf_ref[k + 1, c] - tf_ref[k, c])
-        inv_dp = 1.0 / (p1 - p0)
-        d_dclip += jnp.where(interior, d_frac * inv_dp, 0.0)
-        dtf_ref[k, 4] += jnp.sum(
-            jnp.where(interior, d_frac * (frac - 1.0) * inv_dp, 0.0))
-        dtf_ref[k + 1, 4] += jnp.sum(
-            jnp.where(interior, -d_frac * frac * inv_dp, 0.0))
+        dr_flat = [d_rgba[c].reshape(1, n_all) for c in range(3)]
+        # d_rgba[3] is already the cotangent wrt the RAW opacity o (the
+        # blend adjoint folded the absorption = o*stepsize chain)
+        da_flat = d_rgba[3].reshape(1, n_all)
+        y3 = jnp.dot(eye48[3:4, 0:4], y, preferred_element_type=f32)
+        if output_mode == "rgbo":            # o = softplus(y3)
+            do_dy = jax.nn.sigmoid(y3)
+        elif output_mode == "rgbo:exp":      # o = exp(y3)
+            do_dy = jnp.dot(eye48[3:4, 0:4], out4,
+                            preferred_element_type=f32)
+        else:                                # rgbo:direct: o = max(y3,0)
+            do_dy = (y3 > 0).astype(f32)
+        d_rgb_rows = []
+        for c in range(3):
+            yc = jnp.dot(eye48[c:c + 1, 0:4], y,
+                         preferred_element_type=f32)
+            if output_mode == "rgbo:direct":   # rgb = clip(y, 0, 1)
+                d_rgb_rows.append(
+                    dr_flat[c] * ((yc > 0) & (yc < 1)).astype(f32))
+            else:                              # rgb = sigmoid(y)
+                rc = jax.nn.sigmoid(yc)
+                d_rgb_rows.append(dr_flat[c] * rc * (1.0 - rc))
+        d_y = jnp.concatenate(d_rgb_rows + [da_flat * do_dy], axis=0)
+    elif tf_mode == "texture":
+        # LUT adjoint (reference: the 1D TF texture's trained-table
+        # gradient): d_table via the transposed interpolation one-hot
+        # (one MXU contraction into the 256-texel table -- the texture
+        # analog of the piecewise control-point accumulation), and
+        # d_density via the lerp slope (tbl[hi]-tbl[lo]) * dx/ds
+        @pl.when(first)
+        def _init_tf():
+            dtf_ref[:] = jnp.zeros_like(dtf_ref)
 
-    d_density2 = jnp.where((density2 > 0) & (density2 < 1), d_dclip, 0.0)
-    d_value = d_density2 * inv_range
-    y2 = y.reshape(value2.shape)
-    if output_mode == "density:direct":
-        d_y = jnp.where((y2 > 0) & (y2 < 1), d_value, 0.0)
+        dflat8 = jnp.concatenate(
+            [d_rgba[c].reshape(1, n_all) for c in range(3)]
+            + [d_rgba[3].reshape(1, n_all) * stepsize,
+               jnp.zeros((4, n_all), f32)], axis=0)            # (8, N)
+        lo, hi, fq, dx_ds = _fd._lut4_weights(
+            d_clip.reshape(1, n_all), tf_points, "texture")
+        iot = jax.lax.broadcasted_iota(
+            jnp.int32, (tf_points, n_all), 0).astype(f32)
+        wlo = (iot == lo).astype(f32)
+        whi = (iot == hi).astype(f32)
+        if "tfadj" not in _ABLATE:
+            wmat = wlo * (1.0 - fq) + whi * fq
+            dtf_ref[:] += jax.lax.dot_general(
+                wmat, dflat8, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                    # (R, 8)
+        diff8 = jax.lax.dot_general(
+            tf_ref[0:tf_points, :].astype(f32), whi - wlo,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)                        # (8, N)
+        d_s = jnp.dot(jnp.ones((1, 8), f32), dflat8 * diff8,
+                      preferred_element_type=f32) * dx_ds      # (1, N)
+        d_dclip = d_s.reshape(d_clip.shape)
     else:
-        d_y = d_value * value2 * (1.0 - value2)
-    if dense:
-        d_y = d_y.reshape(1, seg * tile)
+        # piecewise TF adjoint (reference: piecewise TF control points;
+        # gradients for colors/opacity and knot positions,
+        # interior-gated subgradients)
+        @pl.when(first)
+        def _init_tf():
+            for k in range(tf_points):
+                for c in range(8):
+                    dtf_ref[k, c] = jnp.float32(0.0)
+
+        d_dclip = jnp.zeros_like(d_clip)
+        for k in (range(tf_points - 1) if "tfadj" not in _ABLATE
+                  else ()):
+            p0 = knots[k]
+            p1 = knots[k + 1]
+            sel = sels[k]
+            frac = fracs[k]
+            interior = sel & (d_clip > p0) & (d_clip < p1)
+            d_frac = jnp.zeros_like(d_clip)
+            for c in range(4):
+                dc = jnp.where(sel, d_rgba[c], 0.0)
+                dtf_ref[k, c] += jnp.sum(dc * (1.0 - frac))
+                dtf_ref[k + 1, c] += jnp.sum(dc * frac)
+                d_frac += dc * (tf_ref[k + 1, c] - tf_ref[k, c])
+            inv_dp = 1.0 / (p1 - p0)
+            d_dclip += jnp.where(interior, d_frac * inv_dp, 0.0)
+            dtf_ref[k, 4] += jnp.sum(
+                jnp.where(interior, d_frac * (frac - 1.0) * inv_dp, 0.0))
+            dtf_ref[k + 1, 4] += jnp.sum(
+                jnp.where(interior, -d_frac * frac * inv_dp, 0.0))
+
+    if not rgbo_out:
+        d_density2 = jnp.where((density2 > 0) & (density2 < 1),
+                               d_dclip, 0.0)
+        d_value = d_density2 * inv_range
+        y2 = y.reshape(value2.shape)
+        if output_mode == "density:direct":
+            d_y = jnp.where((y2 > 0) & (y2 < 1), d_value, 0.0)
+        else:
+            d_y = d_value * value2 * (1.0 - value2)
+        if dense:
+            d_y = d_y.reshape(1, seg * tile)
 
     # MLP adjoint (transposed weights, contract over samples)
     @pl.when(first)
@@ -871,9 +989,16 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
                          memory_space=pltpu.VMEM)
             for w in wlist[:-1]    # all weights except tf...
         ] + [
+            # d_tf: scalar SMEM accumulation for the few-point piecewise
+            # TF; the texture table (256 rows) accumulates as a VMEM
+            # array via one MXU contraction per program
             pl.BlockSpec(wlist[-1].shape,
                          (lambda i, nd=wlist[-1].ndim: (0,) * nd),
-                         memory_space=pltpu.SMEM)    # d_tf (scalar accum)
+                         memory_space=(
+                             pltpu.VMEM
+                             if kernel_kwargs.get("tf_mode",
+                                                  "piecewise") == "texture"
+                             else pltpu.SMEM))
         ]
         out_shapes += [
             jax.ShapeDtypeStruct((8, r_total), dtype),

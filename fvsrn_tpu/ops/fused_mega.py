@@ -36,8 +36,9 @@ density AND rgbo outputs, piecewise/texture/1D-preintegrated/gaussian
 TFs, adjoint normals + Lambert/Blinn-Phong shading, isosurface
 first-crossing, optional direction input, static or keyframed latent
 grids (pre-lerped per frame), per-ray tmax_clip. The differentiable
-backward covers density-output + piecewise TF (like the per-segment
-engine); other modes train through the plain-JAX oracle.
+backward covers density AND rgbo outputs x piecewise AND texture-LUT
+TFs (like the per-segment engine); preintegrated/gaussian TFs and
+shaded losses train through the plain-JAX oracle.
 
 Reference analogy: this is the closest TPU shape to the reference's
 single-kernel design -- renderer_volume_tensorcores.cuh keeps weights
@@ -386,7 +387,8 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
                      compute_dtype, has_direction: bool,
                      resolve_groups: int = 1,
                      mspec_fine: Optional[MegaSpec] = None,
-                     want_ray_grads: bool = False):
+                     want_ray_grads: bool = False,
+                     tf_mode: str = "piecewise"):
     """Backward of one (ray-tile, segment) program, segments visited in
     REVERSE (the incoming-carry cotangent chains through the dcarry
     scratch). Latent-grid gradients accumulate into the dtab scratch
@@ -442,9 +444,12 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             r[:] = jnp.zeros_like(r)
         for r in grad_refs[8] + grad_refs[9]:
             r[:] = jnp.zeros_like(r)
-        for k in range(tf_points):
-            for c in range(8):
-                dtf_ref[k, c] = f32(0.0)
+        if tf_mode == "texture":
+            dtf_ref[:] = jnp.zeros_like(dtf_ref)   # VMEM array accum
+        else:
+            for k in range(tf_points):
+                for c in range(8):
+                    dtf_ref[k, c] = f32(0.0)
         if has_latent:
             dtab_acc[:] = jnp.zeros_like(dtab_acc)
 
@@ -503,7 +508,7 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             compute_dtype=compute_dtype, has_direction=has_direction,
             latent_boxfeat=True,
             fourier_rot=(seg, _step_delta(rays, stepsize, box_size)),
-            want_ray_grads=want_ray_grads)
+            want_ray_grads=want_ray_grads, tf_mode=tf_mode)
         dcarry_s[:] = dcarry_rows
         cd = compute_dtype
         if want_ray_grads:
@@ -633,10 +638,12 @@ def _mega_statics(*, weights, net, mspec, grid_sizes, tf_points,
 
 
 def _mega_bwd_statics(statics: dict) -> dict:
-    """The backward kernel takes the density+piecewise statics only
-    (mode extras are forward-only; guarded in mega_trace_dvr)."""
+    """The backward kernel's statics: the differentiable mode matrix
+    (density/rgbo outputs x piecewise/texture TFs -- ``tf_mode`` rides
+    through to bwd_segment_core); normals/shading/iso/preintegration
+    extras are forward-only and guarded in mega_trace_dvr."""
     return {k: v for k, v in statics.items()
-            if k not in ("need_normals", "brdf", "tf_mode",
+            if k not in ("need_normals", "brdf",
                          "tf_pre_rows", "iso_value")}
 
 
@@ -669,8 +676,20 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                    resolve_groups: int = 1,
                    subbox_fine=0,
                    ray_grads: bool = False,
+                   segment_active: Optional[Array] = None,
                    interpret: bool = False) -> Array:
     """Fused DVR through an SRN as ONE pallas_call (see module doc).
+
+    ``segment_active``: optional (n_tiles, n_seg) bool/int mask ANDed
+    into the per-(tile, segment) active flags -- TF-aware empty-space
+    skipping (ops/occupancy.make_segment_occupancy): segments whose
+    density range maps below the opacity threshold are culled BEFORE
+    the latent resolve/MLP/TF run (the trained-scene economics of the
+    reference's early-outs, renderer_ray_evaluation_stepping_dvr.cuh:
+    84-154). Applies to forward AND backward (the backward shares the
+    bases); image error is bounded by the occupancy threshold, skipped
+    samples' parameter gradients are dropped -- a render-path
+    optimization, opt-in for training.
 
     Drop-in for :func:`fused_dvr.fused_trace_dvr` with
     ``latent_mode="boxfeat"`` semantics (lattice-aligned sampling;
@@ -690,12 +709,14 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         raise ValueError("mega_trace_dvr requires concrete box_min/"
                          "box_size") from e
     rgbo = not net.output_mode.startswith("density")
-    if differentiable and (rgbo or need_normals or iso_value is not None
-                           or tf_mode != "piecewise"):
+    if differentiable and (need_normals or iso_value is not None
+                           or (tf_mode not in ("piecewise", "texture")
+                               and not rgbo)):
         raise NotImplementedError(
-            "megakernel backward: density-output + piecewise TF, no "
-            "normals/shading/iso (same matrix as the per-segment "
-            "engine; other modes train through the plain-JAX oracle)")
+            "megakernel backward: density/rgbo outputs x piecewise/"
+            "texture TFs, no normals/shading/iso (same matrix as the "
+            "per-segment engine; preintegrated/gaussian TFs train "
+            "through the plain-JAX oracle)")
     if iso_value is not None and (need_normals or rgbo):
         raise ValueError("fused iso marching: forward-only density "
                          "networks (shading happens outside the kernel)")
@@ -826,6 +847,16 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         stepsize=stepsize, tile=tile, has_latent=has_latent,
         grid_sizes=grid_sizes, box_min=box_min, box_size=box_size,
         mspec=mspec, nxb_tot=nxb_tot, yp=yp)
+    if segment_active is not None:
+        sa = jnp.asarray(np.asarray(segment_active)).astype(jnp.int32)
+        if sa.shape[0] != r_total // tile or sa.shape[1] < n_seg:
+            raise ValueError(
+                f"segment_active shape {sa.shape} incompatible with "
+                f"(n_tiles, >=n_seg) = {(r_total // tile, n_seg)}")
+        # a certified spec may march fewer segments than ceil(max_steps
+        # / seg) -- extra mask columns are simply unused
+        bases = bases.at[:, 0, 3].set(
+            bases[:, 0, 3] * sa[:, :n_seg].reshape(-1))
     basesf = None
     if resolve_groups > 1:
         # FINE window bases: the same prologue at sub-segment (seg/G
@@ -958,10 +989,15 @@ def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
             memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct(slab_shape, slab_dtype))
     out_specs += [_const_spec(w) for w in wlist_shapes[:-1]] + [
+        # d_tf: scalar SMEM accumulation for the few-point piecewise
+        # TF; the texture table accumulates as a VMEM array (one MXU
+        # contraction per program, bwd_segment_core)
         pl.BlockSpec(wlist_shapes[-1].shape,
                      (lambda t, s, nd=wlist_shapes[-1].ndim:
                       (0,) * nd),
-                     memory_space=pltpu.SMEM)]                # d_tf
+                     memory_space=(pltpu.VMEM
+                                   if statics.get("tf_mode") == "texture"
+                                   else pltpu.SMEM))]         # d_tf
     out_shapes += [jax.ShapeDtypeStruct(w.shape, dtype)
                    for w in wlist_shapes]
     if want_ray_grads:

@@ -1,0 +1,231 @@
+"""TF-aware empty-space skipping for the fused march
+(VERDICT r3 item 3; reference: the trained-scene economics of the
+while-march early-outs, renderer_ray_evaluation_stepping_dvr.cuh:84-154
+-- segments whose density range maps to (near-)zero opacity burn full
+MLP work in a fixed-trip TPU march unless culled up front).
+
+Pipeline (all camera-static host/one-shot prep):
+1. :func:`build_density_bounds` -- sample the density field (grid SRN,
+   implicit, anything with ``eval_density``) on a fine lattice and
+   reduce per-macrocell [min, max] intervals, dilated by one cell so
+   positions between lattice samples are covered by a neighbor's
+   interval (an ESTIMATE, like the reference's own macro-cell culling:
+   features thinner than the sampling stride can escape the bounds --
+   choose ``fine`` >= 2 samples per march step for scenes that matter).
+2. :func:`tf_max_opacity` -- map each interval through the TF's opacity
+   channel (max over the interval via a sparse-table range-max on a
+   dense opacity discretization; handles non-monotone TFs).
+3. :func:`build_occupancy` -- threshold into a boolean macrocell grid.
+   With threshold eps, a skipped sample's alpha is < eps, so a ray's
+   image error is bounded by ~max_steps * eps (union bound over the
+   skipped prefix of the compositing product) -- eps = 1e-5 at 512
+   steps keeps the error under the 2e-2 render gate with margin.
+4. :func:`make_segment_occupancy` -- per-(ray-tile, segment) ANY-test
+   of the occupancy grid along the tile's rays; the resulting mask
+   rides into the megakernel's per-(tile, segment) ``active`` flags
+   (``mega_trace_dvr(segment_active=...)``), skipping the whole
+   program -- latent resolve, MLP, TF, blend -- before it runs.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def build_density_bounds(volume, *, resolution: int = 32,
+                         fine: int = 4, chunk: int = 1 << 18,
+                         time: float = 0.0, ensemble: float = 0.0):
+    """Per-macrocell density [min, max] over a ``resolution``^3 grid of
+    the volume's box, sampled at ``fine`` points per macrocell axis
+    (inclusive corners), dilated by one macrocell. Returns (dmin, dmax)
+    np (R, R, R) f32 -- index order [ix, iy, iz] over normalized [0,1]^3
+    coordinates."""
+    r = int(resolution)
+    n = r * fine + 1
+    xs = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    grid = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    bm = np.asarray(volume.box_min, np.float32)
+    bs = np.asarray(volume.box_size, np.float32)
+
+    @jax.jit
+    def dens(p):
+        v, _ = volume.eval_density(bm + p * bs, jnp.zeros_like(p))
+        return v
+
+    vals = np.concatenate([np.asarray(dens(jnp.asarray(
+        grid[i:i + chunk]))) for i in range(0, grid.shape[0], chunk)])
+    d = vals.reshape(n, n, n)
+    from numpy.lib.stride_tricks import sliding_window_view
+    sw = sliding_window_view(d, (fine + 1, fine + 1, fine + 1))
+    sel = sw[::fine, ::fine, ::fine]
+    dmin = sel.min(axis=(3, 4, 5))
+    dmax = sel.max(axis=(3, 4, 5))
+    # dilate by one macrocell (neighbor union) without scipy
+    for ax in range(3):
+        for arr, red in ((dmin, np.minimum), (dmax, np.maximum)):
+            lo = np.concatenate([arr.take([0], axis=ax),
+                                 arr.take(range(arr.shape[ax] - 1),
+                                          axis=ax)], axis=ax)
+            hi = np.concatenate([arr.take(range(1, arr.shape[ax]),
+                                          axis=ax),
+                                 arr.take([-1], axis=ax)], axis=ax)
+            arr[:] = red(arr, red(lo, hi))
+    return dmin.astype(np.float32), dmax.astype(np.float32)
+
+
+def tf_max_opacity(tf, dmin: np.ndarray, dmax: np.ndarray, *,
+                   density_min: float = 0.0, density_max: float = 1.0,
+                   bins: int = 1024) -> np.ndarray:
+    """Max TF opacity over each [dmin, dmax] interval (normalized
+    density space), via a sparse-table range-max over a dense opacity
+    discretization -- works for any TF exposing ``eval_normalized``
+    (piecewise, texture, gaussian), monotone or not."""
+    ds = np.linspace(0.0, 1.0, bins + 1, dtype=np.float32)
+    rgba = np.asarray(tf.eval_normalized(
+        jnp.asarray(ds), jnp.zeros((bins + 1, 3), jnp.float32),
+        jnp.full((bins + 1,), -1.0, jnp.float32), 1.0))
+    op = rgba[:, 3].astype(np.float64)
+    # sparse table: level j holds the max over windows of length 2^j
+    levels = [op]
+    k = 1
+    while 2 * k <= bins + 1:
+        prev = levels[-1]
+        levels.append(np.maximum(prev[:-k], prev[k:]))
+        k *= 2
+    inv = 1.0 / (density_max - density_min)
+    lo = np.clip((dmin - density_min) * inv, 0.0, 1.0)
+    hi = np.clip((dmax - density_min) * inv, 0.0, 1.0)
+    # widen by one bin each side: the discretized max can undershoot
+    # the true interval max by up to a bin's slope -- keep the estimate
+    # CONSERVATIVE (never under-report occupancy)
+    a = np.clip((lo * bins).astype(np.int64) - 1, 0, bins)
+    b = np.clip(np.ceil(hi * bins).astype(np.int64) + 1, 0, bins)
+    b = np.maximum(b, a)
+    span = b - a + 1
+    kk = np.maximum(np.int64(np.log2(np.maximum(span, 1))), 0)
+    out = np.empty(a.shape, np.float64)
+    for kv in np.unique(kk):
+        m = kk == kv
+        lv = levels[int(kv)]
+        step = (1 << int(kv))
+        ia = np.clip(a[m], 0, lv.shape[0] - 1)
+        ib = np.clip(b[m] - step + 1, 0, lv.shape[0] - 1)
+        out[m] = np.maximum(lv[ia], lv[ib])
+    return out.astype(np.float32)
+
+
+def build_occupancy(volume, tf, *, resolution: int = 32, fine: int = 4,
+                    stepsize: float, alpha_skip: float = 1e-5,
+                    density_min: float = 0.0, density_max: float = 1.0,
+                    time: float = 0.0, ensemble: float = 0.0
+                    ) -> np.ndarray:
+    """Boolean macrocell grid: True where a sample may contribute more
+    than ``alpha_skip`` opacity*stepsize. Per-ray image error of
+    skipping False cells is bounded by ~max_steps * alpha_skip."""
+    dmin, dmax = build_density_bounds(volume, resolution=resolution,
+                                      fine=fine, time=time,
+                                      ensemble=ensemble)
+    opmax = tf_max_opacity(tf, dmin, dmax, density_min=density_min,
+                           density_max=density_max)
+    # cells entirely below the DVR's density_min floor never contribute
+    below = dmax < density_min
+    occ = (opmax * float(stepsize) >= alpha_skip) & ~below
+    return np.ascontiguousarray(occ)
+
+
+def make_segment_occupancy(ray_start, ray_dir, occupancy: np.ndarray,
+                           box_min, box_size, *, stepsize: float,
+                           seg: int, tile: int, n_seg: int,
+                           max_steps: int,
+                           tmax_clip: Optional[np.ndarray] = None,
+                           samples_per_step: float = 1.0) -> np.ndarray:
+    """Camera-static (n_tiles, n_seg) bool activity mask: True iff ANY
+    subsampled lattice point of ANY ray of the tile inside the segment
+    window hits an occupied macrocell. Mirrors the fused trace
+    prologue's k0/tmax math; rays in the fused engines' permuted tile
+    order. One lattice gather sweep per camera (camera-static,
+    amortized like the bucket plan)."""
+    rs = np.asarray(ray_start, np.float32)
+    rd = np.asarray(ray_dir, np.float32)
+    occ = np.asarray(occupancy)
+    r_grid = occ.shape[0]
+    bm = np.asarray(box_min, np.float32)
+    bs = np.asarray(box_size, np.float32)
+    h = float(stepsize)
+    n_tiles = rs.shape[0] // tile
+    inv_d = 1.0 / np.where(rd == 0, 1e-12, rd)
+    t0 = (bm - rs) * inv_d
+    t1 = (bm + bs - rs) * inv_d
+    tmin = np.maximum(np.minimum(t0, t1).max(axis=1), 0.0)
+    tmax = np.maximum(t0, t1).min(axis=1)
+    if tmax_clip is not None:
+        tmax = np.minimum(tmax, np.asarray(tmax_clip, np.float32))
+    k0_ray = np.ceil(tmin / h)
+    k0t = np.where(tmax > tmin, k0_ray, np.inf) \
+        .reshape(n_tiles, tile).min(axis=1)
+    k0t = np.where(np.isfinite(k0t), k0t, 0.0).astype(np.float32)
+    stride = max(1, int(round(1.0 / max(samples_per_step, 1e-6))))
+    ks = np.arange(0, seg, stride, dtype=np.float32)
+
+    @jax.jit
+    def sweep(rs_, rd_, k0t_, k0r_, tmx_, occ_):
+        rs3 = rs_.reshape(n_tiles, tile, 3)
+        rd3 = rd_.reshape(n_tiles, tile, 3)
+        bmj = jnp.asarray(bm)
+        bsj = jnp.asarray(bs)
+
+        def per_s(s):
+            kk = k0t_[:, None, None] + s * seg + jnp.asarray(ks)[None,
+                                                                 None, :]
+            alive = (kk >= k0r_[..., None]) & (kk * h <= tmx_[..., None])
+            pos = rs3[..., None, :] + rd3[..., None, :] \
+                * (kk * h)[..., None]
+            p01 = (pos - bmj) / bsj
+            ix = jnp.clip((p01 * r_grid).astype(jnp.int32), 0,
+                          r_grid - 1)
+            hit = occ_[ix[..., 0], ix[..., 1], ix[..., 2]]
+            return jnp.any(hit & alive, axis=(1, 2))
+
+        return jax.vmap(per_s)(
+            jnp.arange(n_seg, dtype=jnp.float32)).T      # (T, S)
+
+    mask = sweep(jnp.asarray(rs), jnp.asarray(rd), jnp.asarray(k0t),
+                 jnp.asarray(k0_ray.reshape(n_tiles, tile)),
+                 jnp.asarray(tmax.reshape(n_tiles, tile)),
+                 jnp.asarray(occ))
+    return np.asarray(mask, bool)
+
+
+def plan_segment_occupancy(plan, ray_start, ray_dir,
+                           occupancy: np.ndarray, box_min, box_size, *,
+                           stepsize: float, seg: int, tile: int,
+                           samples_per_step: float = 1.0) -> tuple:
+    """Per-bucket (tiles, segments) occupancy masks for
+    :func:`fvsrn_tpu.ops.fused_dvr.fused_trace_dvr_bucketed`
+    (``segment_active_groups=``): applies :func:`make_segment_occupancy`
+    to each plan group's permuted rays with the group's own step budget
+    and tmax clip. ``ray_start``/``ray_dir`` in the INPUT ray order
+    (the plan's permutation is applied here)."""
+    rs = np.asarray(ray_start, np.float32)[plan.perm]
+    rd = np.asarray(ray_dir, np.float32)[plan.perm]
+    out = []
+    ofs = plan.dead
+    for i, (size, g_steps) in enumerate(zip(plan.group_sizes,
+                                            plan.group_steps)):
+        spec = plan.group_specs[i]
+        n_seg = spec.n_seg if hasattr(spec, "n_seg") \
+            else -(-g_steps // seg)
+        clip_g = (plan.tmax_clip[ofs:ofs + size]
+                  if plan.tmax_clip is not None else None)
+        out.append(make_segment_occupancy(
+            rs[ofs:ofs + size], rd[ofs:ofs + size], occupancy,
+            box_min, box_size, stepsize=stepsize, seg=seg, tile=tile,
+            n_seg=n_seg, max_steps=g_steps, tmax_clip=clip_g,
+            samples_per_step=samples_per_step))
+        ofs += size
+    return tuple(out)

@@ -172,7 +172,9 @@ def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
                    need_normals: bool = True, b: int = 0,
                    ray_id: Optional[Array] = None,
                    sampler: Any = None,
-                   steps_per_round: int = 1) -> _DeltaResult:
+                   steps_per_round: int = 1,
+                   active: Optional[Array] = None,
+                   compact_stages: tuple = ()) -> _DeltaResult:
     """Woodcock/delta tracking (reference: renderer_ray_evaluation_
     monte_carlo.cuh:75-153 ``deltaTracking``): free-flight sampling against
     the majorant ``max_absorption``; a tentative collision is real with
@@ -204,7 +206,26 @@ def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
     the walk instead of at every tentative collision -- identical
     result (the normal is a deterministic function of position), and it
     removes the per-iteration ``eval_normal`` (for adjoint-mode SRNs, a
-    full extra forward+backward per tracking step)."""
+    full extra forward+backward per tracking step).
+
+    ``active`` (lead + (1,) bool): rays that participate at all --
+    trace_mc's later bounces walk only surviving rays; inactive rays
+    return t_out=0 untouched.
+
+    ``compact_stages``: round-4 LIVE-RAY COMPACTION, the batch analog
+    of the reference's per-warp divergence cost (each walk is
+    alive-tail-bound: every round evaluates ALL N lanes until the LAST
+    ray terminates, while the live count decays geometrically). A
+    static pyramid ((rounds_0, width_0), (rounds_1, width_1), ...):
+    after ``rounds_i`` more rounds at the current width, the first
+    ``width_i`` live rays (stable index order) are gathered into a
+    narrower buffer and continue there; any OVERFLOW live rays beyond
+    ``width_i`` (rare -- widths are sized from liveness statistics)
+    finish in the current-width loop, so compaction is a performance
+    schedule, never a correctness cap. Because every draw is a pure
+    counter function of (key, ray_id, global step), the compacted walk
+    is BITWISE identical to the uncompacted one -- no host syncs, the
+    whole pyramid stays inside one jit."""
     dtype = ray_start.dtype
     lead = ray_start.shape[:-1]
     if ray_id is None:
@@ -215,32 +236,37 @@ def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
     tf_needs_normal = bool(getattr(tf, "scale_with_gradient", False))
     inloop_normals = need_normals and tf_needs_normal
 
-    def eval_density(position):
-        # position: (K,) + lead + (3,); direction broadcasts over K
+    def eval_density(position, rd_):
+        # position: (K,) + batch + (3,); direction broadcasts over K
         if sampler is not None:
-            value, inside = sampler(position, ray_dir)
+            value, inside = sampler(position, rd_)
         else:
-            value, inside = volume.eval_density(position, ray_dir, b=b)
+            value, inside = volume.eval_density(position, rd_, b=b)
         return value[..., None], inside[..., None]
 
-    def cond(state):
-        it, valid, *_ = state
-        return (it < config.max_iterations) & jnp.any(valid)
+    def make_cond(rounds):
+        def cond(state):
+            it, it0, valid, *_ = state
+            ok = (it < config.max_iterations) & jnp.any(valid)
+            if rounds is not None:
+                ok = ok & (it < it0 + rounds)
+            return ok
+        return cond
 
-    def body(state):
-        it, valid, tcur, t_out, hit_pos, hit_col, hit_nrm = state
+    def body(state, rs_, rd_, rid_):
+        it, it0, valid, tcur, t_out, hit_pos, hit_col, hit_nrm = state
         # K free-flight steps drawn at once; draw index = global step
         u1 = jnp.stack([
-            ray_uniform(key, ray_id, dtype, minval=1e-10,
+            ray_uniform(key, rid_, dtype, minval=1e-10,
                         salt=2 * (it + j)) for j in range(K)], axis=0)
         u2 = jnp.stack([
-            ray_uniform(key, ray_id, dtype, salt=2 * (it + j) + 1)
+            ray_uniform(key, rid_, dtype, salt=2 * (it + j) + 1)
             for j in range(K)], axis=0)
         t_j = tcur[None] - jnp.cumsum(jnp.log(u1), axis=0) * inv_major
-        position = ray_start[None] + ray_dir[None] * t_j   # (K,)+lead+(3,)
-        value, inside = eval_density(position)
+        position = rs_[None] + rd_[None] * t_j   # (K,)+batch+(3,)
+        value, inside = eval_density(position, rd_)
         if inloop_normals:
-            normal = volume.eval_normal(position, ray_dir, b=b)
+            normal = volume.eval_normal(position, rd_, b=b)
         else:
             normal = jnp.zeros_like(position)
         density2 = (value - config.density_min) * inv_range
@@ -262,16 +288,73 @@ def delta_tracking(key: Array, ray_start: Array, ray_dir: Array,
             t_out = jnp.where(real_hit, t_j[j], t_out)
             walking = walking & ~real_hit
         tcur = jnp.where(walking, t_j[K - 1], tcur)
-        return (it + K, walking, tcur, t_out, hit_pos, hit_col, hit_nrm)
+        return (it + K, it0, walking, tcur, t_out, hit_pos, hit_col,
+                hit_nrm)
 
+    def run_rounds(state, rounds, rs_, rd_, rid_):
+        """Advance the walk by up to ``rounds`` rounds (None = to
+        completion / the global iteration cap)."""
+        it = state[0]
+        state = (it, it) + state[2:]
+        return jax.lax.while_loop(
+            make_cond(rounds), lambda s: body(s, rs_, rd_, rid_), state)
+
+    valid0 = (jnp.ones(lead + (1,), bool) if active is None
+              else jnp.broadcast_to(active, lead + (1,)))
     zero3 = jnp.zeros(lead + (3,), dtype)
-    state = (jnp.int32(0),
-             jnp.ones(lead + (1,), bool),
+    state = (jnp.int32(0), jnp.int32(0), valid0,
              jnp.zeros(lead + (1,), dtype),       # tcurrent
              jnp.zeros(lead + (1,), dtype),       # t_out
              zero3, jnp.zeros(lead + (4,), dtype), zero3)
-    state = jax.lax.while_loop(cond, body, state)
-    _, _, _, t_out, hit_pos, hit_col, hit_nrm = state
+
+    if not compact_stages:
+        state = run_rounds(state, None, ray_start, ray_dir, ray_id)
+        _, _, _, _, t_out, hit_pos, hit_col, hit_nrm = state
+    else:
+        n = int(np.prod(lead)) if lead else 1
+
+        def flat(a, c):
+            return a.reshape(n, c)
+
+        rs_c = flat(ray_start, 3)
+        rd_c = flat(ray_dir, 3)
+        rid_c = ray_id.reshape(n)
+        st = (state[0], state[1], flat(state[2], 1), flat(state[3], 1),
+              flat(state[4], 1), flat(state[5], 3), flat(state[6], 4),
+              flat(state[7], 3))
+        out_rows = [jnp.zeros((n, 1), dtype), jnp.zeros((n, 3), dtype),
+                    jnp.zeros((n, 4), dtype), jnp.zeros((n, 3), dtype)]
+        cur_idx = jnp.arange(n, dtype=jnp.int32)
+        for rounds, width in compact_stages:
+            if width >= cur_idx.shape[0]:
+                continue
+            st = run_rounds(st, rounds, rs_c, rd_c, rid_c)
+            live = st[2][:, 0]
+            order = jnp.argsort(~live, stable=True)   # live rays first
+            inv = jnp.argsort(order)
+            taken = live & (inv < width)
+            # overflow (live beyond `width`) + finished rays finalize at
+            # the current width; with no overflow the loop exits on its
+            # first cond evaluation
+            st_of = (st[0], st[1], (live & ~taken)[:, None]) + st[3:]
+            st_of = run_rounds(st_of, None, rs_c, rd_c, rid_c)
+            for i, v_ in enumerate(st_of[4:8]):
+                out_rows[i] = out_rows[i].at[cur_idx].set(v_)
+            idx_k = order[:width]
+            cur_idx = cur_idx[idx_k]
+            rs_c = rs_c[idx_k]
+            rd_c = rd_c[idx_k]
+            rid_c = rid_c[idx_k]
+            st = (st[0], st[1], taken[idx_k][:, None], st[3][idx_k],
+                  st[4][idx_k], st[5][idx_k], st[6][idx_k], st[7][idx_k])
+        st = run_rounds(st, None, rs_c, rd_c, rid_c)
+        for i, v_ in enumerate(st[4:8]):
+            out_rows[i] = out_rows[i].at[cur_idx].set(v_)
+        t_out = out_rows[0].reshape(lead + (1,))
+        hit_pos = out_rows[1].reshape(lead + (3,))
+        hit_col = out_rows[2].reshape(lead + (4,))
+        hit_nrm = out_rows[3].reshape(lead + (3,))
+
     if need_normals and not inloop_normals:
         nrm = volume.eval_normal(hit_pos, ray_dir, b=b)
         hit_nrm = jnp.where(t_out > 0, nrm, hit_nrm)
@@ -347,7 +430,10 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
              ray_id: Optional[Array] = None,
              sampler: Any = None,
              use_fused: bool = False,
-             fused_kwargs: Optional[dict] = None) -> RayEvaluationOutput:
+             fused_kwargs: Optional[dict] = None,
+             compact: bool = False,
+             compact_schedule: Optional[tuple] = None
+             ) -> RayEvaluationOutput:
     """Full path-traced evaluation with next-event estimation to the
     spherical light (reference: cuh:205-313 ``eval``).
 
@@ -366,13 +452,39 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
     larger win for SRN MC eval is structural and always on -- normals
     are DEFERRED to the recorded interaction point (see
     :func:`delta_tracking`), removing the per-tentative-collision
-    ``jax.grad`` MLP eval that dominated the per-step cost."""
+    ``jax.grad`` MLP eval that dominated the per-step cost.
+
+    ``compact=True`` enables live-ray compaction inside every
+    delta-tracking walk (see :func:`delta_tracking` compact_stages --
+    bitwise identical, fully in-jit) and starts each walk with only the
+    rays that are still on a path (``active`` mask), so later bounces
+    and shadow walks are bound by the live count instead of the batch
+    width. ``compact_schedule``: explicit ((rounds, width), ...)
+    override; the default compacts to N/4 after 16 rounds and N/16
+    after 32 more (floored at the fused sampler's tile)."""
     dtype = ray_start.dtype
     lead = ray_start.shape[:-1]
     if ray_id is None:
         ray_id = _default_ray_id(lead)
     if sampler is None and use_fused:
         sampler = make_mc_sampler(volume, **(fused_kwargs or {}))
+    stages = ()
+    if compact:
+        if compact_schedule is not None:
+            stages = tuple(compact_schedule)
+        else:
+            n = 1
+            for d in lead:
+                n *= int(d)
+            floor_w = int((fused_kwargs or {}).get("tile", 2048)) \
+                if use_fused else 256
+
+            def wup(w):
+                return -(-max(w, floor_w) // floor_w) * floor_w
+            if n // 4 > floor_w:
+                stages = ((16, wup(n // 4)), (32, wup(n // 16)))
+            elif n > 2 * floor_w:
+                stages = ((16, wup(n // 4)),)
     tmin, tmax = intersect_aabb(ray_start, ray_dir,
                                 jnp.asarray(volume.box_min, dtype),
                                 jnp.asarray(volume.box_size, dtype))
@@ -391,7 +503,9 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
         key, k_walk, k_light, k_shadow, k_dir = jax.random.split(key, 5)
         hit = delta_tracking(k_walk, position, direction, volume, tf,
                              config, b=b, ray_id=ray_id,
-                             sampler=sampler)
+                             sampler=sampler,
+                             active=(valid if compact else None),
+                             compact_stages=stages)
         any_hit = hit.t_out > 0
         if bounce == 0:
             out_alpha = jnp.where(valid, any_hit.astype(dtype), out_alpha)
@@ -412,7 +526,10 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
         p = phase.prob(direction, light_dir, hit.hit_position, b=b)[..., None]
         shadow = delta_tracking(k_shadow, hit.hit_position, light_dir,
                                 volume, tf, config, need_normals=False,
-                                b=b, ray_id=ray_id, sampler=sampler)
+                                b=b, ray_id=ray_id, sampler=sampler,
+                                active=((valid & any_hit) if compact
+                                        else None),
+                                compact_stages=stages)
         unoccluded = shadow.t_out <= 0
         contrib = beta * (p * config.light_intensity)
         emission = jnp.where(any_hit & valid & unoccluded,

@@ -46,9 +46,14 @@ def ssim(pred: Array, ref: Array, *, window_size: int = 11,
     def filt(x):
         b, c, h, w = x.shape
         xr = x.reshape(b * c, 1, h, w)
+        # HIGHEST precision: XLA:TPU's default rounds conv operands to
+        # bf16, which corrupts the E[x^2]-mu^2 variance cancellation
+        # (measured: SSIM 1.005 on a near-perfect pair, and depressed
+        # scores on real pairs); bf16x6 passes restore f32 accuracy
         y = jax.lax.conv_general_dilated(
             xr, window, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST)
         return y.reshape(b, c, y.shape[2], y.shape[3])
 
     mu1 = filt(pred)

@@ -1848,3 +1848,109 @@ def test_mega_camera_pose_recovery():
     assert res.cost < 0.45 * res.cost0, (res.cost0, res.cost)
     assert e1 < 0.8 * e0, (e0, e1)
     assert all(b <= a + 1e-12 for a, b in zip(res.costs, res.costs[1:]))
+
+
+# -- round-4: differentiable rgbo + texture-TF through BOTH engines --------
+# (reference: applications/volnet/raytracing.py:526-619 backward handles
+# whatever _predict evaluated -- every TF/output mode differentiates)
+
+def _grad_match(g_f, g_p, *, tf_grad=True, tf_cols=4):
+    np.testing.assert_allclose(
+        np.asarray(g_f[0].latent.static_grid),
+        np.asarray(g_p[0].latent.static_grid), atol=2e-5, rtol=1e-3)
+    for lf, lp in zip(g_f[0].layers, g_p[0].layers):
+        np.testing.assert_allclose(np.asarray(lf.weight),
+                                   np.asarray(lp.weight),
+                                   atol=2e-5, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(lf.bias),
+                                   np.asarray(lp.bias),
+                                   atol=2e-5, rtol=1e-3)
+    if tf_grad:
+        np.testing.assert_allclose(np.asarray(g_f[1][:, :tf_cols]),
+                                   np.asarray(g_p[1][:, :tf_cols]),
+                                   atol=2e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("engine", ["scan", "mega"])
+def test_fused_rgbo_backward_matches_autodiff_of_plain(engine):
+    """Differentiable rgbo (4-channel color head, TF skipped) through
+    the fused backward: the round-4 output-head adjoint
+    (bwd_segment_core rgbo branch) vs jax.grad of the lattice oracle."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    net, tf, rs, rd = _scene(True, output_mode="rgbo")
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(0).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss_fused(net, tft):
+        kw = dict(stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+                  enable_early_out=False, differentiable=True,
+                  interpret=True)
+        if engine == "mega":
+            c = mega_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                               (1.0, 1.0, 1.0), tft, **kw)
+        else:
+            c = fused_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                                (1.0, 1.0, 1.0), tft,
+                                latent_mode="boxfeat", **kw)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net, tft):
+        out = _plain_lattice(
+            net, TransferFunctionPiecewiseLinear(tensor=tft),
+            rs, rd, stepsize, steps, False).color
+        return jnp.mean((out - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_fused(net, tf.tensor)),
+                               float(loss_plain(net, tf.tensor)),
+                               rtol=1e-5)
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(net, tf.tensor)
+    g_p = jax.grad(loss_plain, argnums=(0, 1))(net, tf.tensor)
+    _grad_match(g_f, g_p, tf_grad=False)
+    # the TF is skipped: its fused gradient must be exactly zero
+    assert float(jnp.abs(g_f[1]).max()) == 0.0
+
+
+@pytest.mark.parametrize("engine", ["scan", "mega"])
+def test_fused_texture_tf_backward_matches_autodiff_of_plain(engine):
+    """Differentiable texture-LUT TF through the fused backward: the
+    round-4 LUT adjoint (transposed interpolation one-hot into the
+    256-texel table + lerp-slope density chain) vs jax.grad of the
+    lattice oracle. Reference: the trained 1D TF texture
+    (renderer_tf_texture.cuh:41-56) differentiates in raytracing.py."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    from fvsrn_tpu.transfer import TransferFunctionTexture
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf = _texture_tf()
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(0).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss_fused(net, tft):
+        kw = dict(stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+                  enable_early_out=False, differentiable=True,
+                  tf_mode="texture", interpret=True)
+        if engine == "mega":
+            c = mega_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                               (1.0, 1.0, 1.0), tft, **kw)
+        else:
+            c = fused_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                                (1.0, 1.0, 1.0), tft,
+                                latent_mode="boxfeat", **kw)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net, tft):
+        out = _plain_lattice(
+            net, TransferFunctionTexture(tensor=tft),
+            rs, rd, stepsize, steps, False).color
+        return jnp.mean((out - tgt) ** 2)
+
+    np.testing.assert_allclose(float(loss_fused(net, tf.tensor)),
+                               float(loss_plain(net, tf.tensor)),
+                               rtol=1e-5)
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(net, tf.tensor)
+    g_p = jax.grad(loss_plain, argnums=(0, 1))(net, tf.tensor)
+    _grad_match(g_f, g_p, tf_grad=True)
+    assert float(jnp.abs(g_p[1]).max()) > 0   # the table really trains

@@ -162,3 +162,65 @@ def test_sh_background():
                    start.reshape(-1, 3), direction.reshape(-1, 3),
                    vol, tf, phase, cfg2)
     assert np.isfinite(np.asarray(out.color)).all()
+
+
+def test_delta_tracking_compaction_bitwise_identical():
+    """Round-4 live-ray compaction (static in-jit pyramid + overflow
+    fallback) is BITWISE identical to the uncompacted walk: every draw
+    is a pure counter function of (key, ray_id, step), so gathering
+    live rays changes the schedule, not the math."""
+    vol, tf, cfg = _mc_scene()
+    n = 1024
+    rng = np.random.default_rng(3)
+    start = jnp.asarray(
+        np.stack([np.full(n, -1.2), rng.uniform(-0.8, 0.8, n),
+                  rng.uniform(-0.8, 0.8, n)], axis=1), jnp.float32)
+    direction = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32),
+                         (n, 1))
+    base = delta_tracking(jax.random.PRNGKey(5), start, direction, vol,
+                          tf, cfg)
+    # aggressive schedule incl. a deliberately TINY width to force the
+    # overflow path to carry real rays
+    for stages in (((8, 256), (16, 64)), ((4, 16),)):
+        got = delta_tracking(jax.random.PRNGKey(5), start, direction,
+                             vol, tf, cfg, compact_stages=stages)
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_delta_tracking_active_mask():
+    """Inactive rays return the zero result and do not walk; active
+    rays are untouched by the mask."""
+    vol, tf, cfg = _mc_scene()
+    n = 128
+    start = jnp.tile(jnp.asarray([[-0.499, 0.0, 0.0]]), (n, 1))
+    direction = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n, 1))
+    base = delta_tracking(jax.random.PRNGKey(0), start, direction, vol,
+                          tf, cfg)
+    active = (jnp.arange(n) % 2 == 0)[:, None]
+    got = delta_tracking(jax.random.PRNGKey(0), start, direction, vol,
+                         tf, cfg, active=active)
+    m = np.asarray(active)[:, 0]
+    np.testing.assert_array_equal(np.asarray(got.t_out)[m],
+                                  np.asarray(base.t_out)[m])
+    np.testing.assert_array_equal(np.asarray(got.t_out)[~m], 0.0)
+
+
+def test_trace_mc_compact_matches_plain():
+    """trace_mc(compact=True) (active-masked bounce/shadow walks +
+    in-walk compaction) reproduces the uncompacted trace bitwise."""
+    vol, tf, cfg = _mc_scene()
+    phase = PhaseFunctionHenyeyGreenstein.make(g=0.3)
+    cam = CameraOnASphere.make(distance=1.5)
+    start, direction = generate_rays(cam, 32, 32)
+    rs = start.reshape(-1, 3)
+    rd = direction.reshape(-1, 3)
+    base = trace_mc(jax.random.PRNGKey(2), rs, rd, vol, tf, phase, cfg)
+    got = trace_mc(jax.random.PRNGKey(2), rs, rd, vol, tf, phase, cfg,
+                   compact=True, compact_schedule=((8, 256), (16, 64)))
+    np.testing.assert_array_equal(np.asarray(base.color),
+                                  np.asarray(got.color))
+    np.testing.assert_array_equal(np.asarray(base.depth),
+                                  np.asarray(got.depth))
+    np.testing.assert_array_equal(np.asarray(base.normal),
+                                  np.asarray(got.normal))
