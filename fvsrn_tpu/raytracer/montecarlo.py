@@ -432,7 +432,8 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
              use_fused: bool = False,
              fused_kwargs: Optional[dict] = None,
              compact: bool = False,
-             compact_schedule: Optional[tuple] = None
+             compact_schedule: Optional[tuple] = None,
+             compact_min_width: Optional[int] = None
              ) -> RayEvaluationOutput:
     """Full path-traced evaluation with next-event estimation to the
     spherical light (reference: cuh:205-313 ``eval``).
@@ -476,15 +477,24 @@ def trace_mc(key: Array, ray_start: Array, ray_dir: Array, volume: Any,
             n = 1
             for d in lead:
                 n *= int(d)
-            floor_w = int((fused_kwargs or {}).get("tile", 2048)) \
-                if use_fused else 256
+            if compact_min_width is not None:
+                floor_w = int(compact_min_width)
+            elif use_fused or sampler is not None:
+                # a fused sample evaluator processes fixed tiles: keep
+                # compact widths multiples of it (callers with custom
+                # tiles pass compact_min_width)
+                floor_w = int((fused_kwargs or {}).get("tile", 2048))
+            else:
+                floor_w = 256
 
             def wup(w):
                 return -(-max(w, floor_w) // floor_w) * floor_w
+            # rounds swept on v5e at 128^2 flagship (tools/bench_mc.py):
+            # (8, 16) 149 ms < (16, 32) 207 < (24, 48) 256 < none 382
             if n // 4 > floor_w:
-                stages = ((16, wup(n // 4)), (32, wup(n // 16)))
+                stages = ((8, wup(n // 4)), (16, wup(n // 16)))
             elif n > 2 * floor_w:
-                stages = ((16, wup(n // 4)),)
+                stages = ((8, wup(n // 4)),)
     tmin, tmax = intersect_aabb(ray_start, ray_dir,
                                 jnp.asarray(volume.box_min, dtype),
                                 jnp.asarray(volume.box_size, dtype))

@@ -1,5 +1,7 @@
 """MC delta-tracking eval of an SRN: plain vs fused sampler (VERDICT r2
-item 6; reference analog: the tensor-core MLP inside the MC kernel,
+item 6) and round-4 live-ray compaction (VERDICT r3 item 7 -- walks
+were alive-tail-bound; reference analog: the tensor-core MLP inside
+the MC kernel + per-warp divergence economics,
 renderer_ray_evaluation_monte_carlo.cuh:59-317).
 
 Usage: python tools/bench_mc.py [width]
@@ -44,11 +46,13 @@ def main():
     key = jax.random.PRNGKey(7)
     sampler = make_mc_sampler(vol, tile=4096)
 
-    def bench(tag, smp, frames=3):
+    def bench(tag, smp, frames=3, compact=False, schedule=None):
         @jax.jit
         def fn(rs, rd):
             out = trace_mc(key, rs, rd, vol, tf, phase, config,
-                           sampler=smp)
+                           sampler=smp, compact=compact,
+                           compact_schedule=schedule,
+                           use_fused=False)
             return jnp.mean(out.color)
 
         t0 = time.perf_counter()
@@ -65,7 +69,18 @@ def main():
 
     dt_f = bench("fused sampler", sampler)
     dt_p = bench("plain path", None)
-    print(f"speedup: {dt_p/dt_f:.1f}x", flush=True)
+    print(f"fused-vs-plain speedup: {dt_p/dt_f:.1f}x", flush=True)
+    n = W * H
+    dt_fc = bench("fused + compact", sampler, compact=True,
+                  schedule=((16, max(4096, n // 4)),
+                            (32, max(4096, n // 16))))
+    for r0, r1 in ((8, 16), (16, 32), (24, 48)):
+        sched = ((r0, max(4096, n // 4)), (r1, max(4096, n // 16)))
+        dt_c = bench(f"fused + compact {sched}", sampler, compact=True,
+                     schedule=sched)
+    dt_pc = bench("plain + compact", None, compact=True)
+    print(f"compaction speedup (fused): {dt_f/dt_fc:.2f}x, "
+          f"(plain): {dt_p/dt_pc:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
