@@ -43,8 +43,9 @@ per frame); isosurface first-crossing (``iso_value``); per-ray
 density AND rgbo outputs x piecewise AND texture-LUT TFs
 (fused_dvr_bwd); preintegrated/gaussian TFs and shaded losses
 differentiate via the plain JAX path in fvsrn_tpu.raytracer.dvr.
-1D latent time/ensemble VECTORS (interp1D conditioning) are not fused
--- they route to the plain path.
+1D latent time/ensemble VECTORS (interp1D conditioning) fold into the
+first-layer bias at the frame's (time, ensemble)
+(:func:`extract_weights`) -- fused, with exact vector gradients.
 """
 from __future__ import annotations
 
@@ -88,13 +89,23 @@ class FusedWeights(NamedTuple):
 
 
 def extract_weights(net: SceneRepresentationNetwork,
-                    dtype=jnp.float32) -> FusedWeights:
+                    dtype=jnp.float32, time=0.0,
+                    ensemble=0.0) -> FusedWeights:
     """Split the SRN's first layer by input block (pos/dir/cos/sin/latent),
     the fused-kernel analogue of the reference's weight export
     (reference: network.py:798-897 export_to_pyrenderer; direction input
     and rgbo output heads mirror renderer_volume_tensorcores.cuh:768-808,
     1041-1161). Torch Linear weights are already (out, in), which IS the
-    transposed layout."""
+    transposed layout.
+
+    1D latent time/ensemble VECTORS (interp1D conditioning,
+    reference: network.py:723-773 + PytorchFunctions::interp1D) fold
+    into the first-layer BIAS here: at one (time, ensemble) every
+    sample sees the same interpolated vector z, so its contribution
+    W_vec @ z is a constant pre-activation shift -- the fused kernels
+    march with b1' = b1 + W_vec @ z and only the grid channels stay as
+    per-sample latent inputs. Exact (the layer is affine), and AD
+    chains d(b1') back to the vectors through interp1d."""
     assert net.input.fourier_matrix_time is None, \
         "fused: no time fourier (use keyframed latent grids)"
     assert not net.input.use_time_direct, "fused: no direct time input"
@@ -114,6 +125,28 @@ def extract_weights(net: SceneRepresentationNetwork,
     w1_cos = w1[:, base:base + f]
     w1_sin = w1[:, base + f:base + 2 * f]
     w1_lat = w1[:, base + 2 * f:] if cl > 0 else None
+    lat = net.latent
+    if w1_lat is not None and not lat.time_dependent and (
+            lat.ensemble_vector is not None
+            or lat.time_vector is not None):
+        # fold the constant vector features into the bias (docstring);
+        # channel order matches LatentSpace.evaluate: ensemble vector,
+        # time vector, then grid channels
+        from ..models.latent import interp1d
+        zs = []
+        if lat.ensemble_vector is not None:
+            zs.append(interp1d(
+                jnp.asarray(lat.ensemble_vector, dtype),
+                jnp.reshape(jnp.asarray(ensemble, dtype),
+                            (1, 1)))[0, :, 0])
+        if lat.time_vector is not None:
+            zs.append(interp1d(
+                jnp.asarray(lat.time_vector, dtype),
+                jnp.reshape(jnp.asarray(time, dtype), (1, 1)))[0, :, 0])
+        z = jnp.concatenate(zs)
+        nvec = z.shape[0]
+        b1 = b1 + w1_lat[:, :nvec] @ z[:, None]
+        w1_lat = w1_lat[:, nvec:] if cl > nvec else None
     hidden_w = tuple(jnp.asarray(l.weight, dtype)
                      for l in net.layers[1:-1])
     hidden_b = tuple(jnp.asarray(l.bias, dtype)[:, None]
@@ -2288,12 +2321,11 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         tmin = jnp.maximum(tmin, jnp.asarray(tmin_clip, dtype)
                            .reshape(tmin.shape))
 
-    weights = extract_weights(net, jnp.float32)
+    # 1D latent vectors fold into the first-layer bias at this frame's
+    # (time, ensemble) -- extract_weights docstring; grids stay per-sample
+    weights = extract_weights(net, jnp.float32, time=time,
+                              ensemble=ensemble)
     has_latent = weights.w1_lat is not None
-    if has_latent and (net.latent.time_vector is not None
-                       or net.latent.ensemble_vector is not None):
-        raise ValueError("fused path: 1D latent vectors are not supported; "
-                         "use keyframed latent grids")
     # time/ensemble-keyframed grids collapse to one static grid per frame
     # (exact: trilerp is linear in grid values; see models.latent.resolve_grid)
     latent_grid = resolve_grid(net.latent, time, ensemble) \

@@ -115,12 +115,11 @@ def make_fused_eval(net: SceneRepresentationNetwork, box_min, box_size,
     if not net.output_mode.startswith("density"):
         raise NotImplementedError("fused sample evaluator: density "
                                   "networks (MC tracks scalar density)")
-    weights = extract_weights(net, jnp.float32)
+    # 1D latent vectors fold into the first-layer bias at this
+    # (time, ensemble) (fused_dvr.extract_weights); grids stay per-sample
+    weights = extract_weights(net, jnp.float32, time=time,
+                              ensemble=ensemble)
     has_latent = weights.w1_lat is not None
-    if has_latent and (net.latent.time_vector is not None
-                       or net.latent.ensemble_vector is not None):
-        raise ValueError("fused path: 1D latent vectors are not "
-                         "supported; use keyframed latent grids")
     grid_sizes = (1, 1, 1)
     table = None
     if has_latent:

@@ -746,12 +746,11 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                            .reshape(tmin.shape))
     k0_ray = jnp.ceil(tmin / stepsize)
 
-    weights = extract_weights(net, jnp.float32)
+    # 1D latent vectors fold into the first-layer bias at this frame's
+    # (time, ensemble) (fused_dvr.extract_weights); grids stay per-sample
+    weights = extract_weights(net, jnp.float32, time=time,
+                              ensemble=ensemble)
     has_latent = weights.w1_lat is not None
-    if has_latent and (net.latent.time_vector is not None
-                       or net.latent.ensemble_vector is not None):
-        raise ValueError("fused path: 1D latent vectors are not "
-                         "supported; use keyframed latent grids")
     cl = weights.w1_lat.shape[1] if has_latent else 0
     if has_latent and cl > 16:
         raise NotImplementedError("megakernel: <= 16 latent channels")

@@ -1954,3 +1954,82 @@ def test_fused_texture_tf_backward_matches_autodiff_of_plain(engine):
     g_p = jax.grad(loss_plain, argnums=(0, 1))(net, tf.tensor)
     _grad_match(g_f, g_p, tf_grad=True)
     assert float(jnp.abs(g_p[1]).max()) > 0   # the table really trains
+
+
+# -- round-4: 1D latent time/ensemble VECTORS through the fused path -------
+# (reference: network.py:723-773 interp1D latent-vector conditioning +
+# PytorchFunctions::interp1D; at one (time, ensemble) the interpolated
+# vector is constant across samples, so extract_weights folds
+# W_vec @ z into the first-layer bias -- exact, AD chains to the vectors)
+
+@pytest.mark.parametrize("with_grid", [False, True])
+def test_fused_latent_vectors_fold_matches_plain(with_grid):
+    rng = np.random.default_rng(17)
+    latent = LatentSpace(
+        time_vector=jnp.asarray(
+            rng.standard_normal((1, 4, 3)).astype(np.float32)),
+        ensemble_vector=jnp.asarray(
+            rng.standard_normal((1, 2, 3)).astype(np.float32)),
+        static_grid=(jnp.asarray(
+            (rng.standard_normal((8, 8, 8, 8)) * 0.3).astype(np.float32))
+            if with_grid else None))
+    net = SceneRepresentationNetwork.make(
+        layers="32:32", activation="SnakeAlt:2", num_fourier=6,
+        output_mode="density:direct", latent=latent, seed=17)
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.9, 0.1, 0.1], [0.1, 0.9, 0.1], [0.1, 0.1, 0.9]],
+        opacity=[2.0, 10.0, 30.0], positions=[0.0, 0.45, 1.0])
+    cam = CameraOnASphere.make(pitch=0.3, yaw=0.8, distance=1.6)
+    start, direction = generate_rays(cam, 16, 16)
+    rs = jnp.reshape(start, (-1, 3))
+    rd = jnp.reshape(direction, (-1, 3))
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    t_eval, e_eval = 0.37, 0.81
+    vol = VolumeInterpolationNetwork.make(net, time=t_eval,
+                                          ensemble=e_eval)
+    cfg = RayEvaluationSteppingDvr.make(stepsize=stepsize,
+                                        enable_early_out=False)
+    # a vector-only net has no per-sample latent -> the fused path
+    # marches per-ray (non-lattice); with a grid it is lattice-aligned
+    ref = np.asarray(trace_dvr(rs, rd, vol, tf, cfg, steps,
+                               lattice=with_grid).color)
+    got = np.asarray(fused_trace_dvr(
+        rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+        stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+        enable_early_out=False, time=t_eval, ensemble=e_eval,
+        latent_mode="boxfeat", interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    assert ref[:, 3].max() > 0.3
+
+    # gradients: the vector cotangent flows through the bias fold
+    tgt = np.random.default_rng(0).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss_fused(net):
+        c = fused_trace_dvr(
+            rs, rd, net, (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0), tf.tensor,
+            stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+            enable_early_out=False, differentiable=True,
+            time=t_eval, ensemble=e_eval,
+            latent_mode="boxfeat", interpret=True)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net):
+        v = VolumeInterpolationNetwork.make(net, time=t_eval,
+                                            ensemble=e_eval)
+        out = trace_dvr(rs, rd, v, tf, cfg, steps,
+                        lattice=with_grid).color
+        return jnp.mean((out - tgt) ** 2)
+
+    g_f = jax.grad(loss_fused)(net)
+    g_p = jax.grad(loss_plain)(net)
+    for name in ("time_vector", "ensemble_vector"):
+        a = np.asarray(getattr(g_f.latent, name))
+        b = np.asarray(getattr(g_p.latent, name))
+        assert np.abs(b).max() > 0          # vectors really train
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-3)
+    if with_grid:
+        np.testing.assert_allclose(
+            np.asarray(g_f.latent.static_grid),
+            np.asarray(g_p.latent.static_grid), atol=2e-5, rtol=1e-3)
