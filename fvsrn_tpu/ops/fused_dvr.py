@@ -40,9 +40,9 @@ input; adjoint normals + Lambert/Phong shading (``need_normals``/
 ``brdf``); static or time/ensemble-keyframed latent grids (pre-lerped
 per frame); isosurface first-crossing (``iso_value``); per-ray
 ``tmax_clip``/``tmin_clip``. The differentiable backward covers
-density AND rgbo outputs x piecewise AND texture-LUT TFs
-(fused_dvr_bwd); preintegrated/gaussian TFs and shaded losses
-differentiate via the plain JAX path in fvsrn_tpu.raytracer.dvr.
+density AND rgbo outputs x piecewise/texture-LUT/gaussian/
+1D-preintegrated TFs (fused_dvr_bwd); 2D-preintegrated TFs and shaded
+losses differentiate via the plain JAX path in fvsrn_tpu.raytracer.dvr.
 1D latent time/ensemble VECTORS (interp1D conditioning) fold into the
 first-layer bias at the frame's (time, ensemble)
 (:func:`extract_weights`) -- fused, with exact vector gradients.
@@ -2144,7 +2144,9 @@ def _prepare_tf(tf_tensor: Array, tf_mode: str, tf_pre):
         tf_pad = jnp.concatenate(
             [plain_t, pre_t] + ([jnp.zeros((pad, 4), jnp.float32)]
                                 if pad else []), axis=0)
-        return tf_pad, plain_t.shape[0], pre_t.shape[0]
+        # lane-pad to 8 like the texture mode (the backward's LUT
+        # adjoints contract at the fixed 8 width)
+        return _pad_tf(tf_pad), plain_t.shape[0], pre_t.shape[0]
     if tf_mode == "preint2d":
         # full 2D table over (front, back) density pairs
         # (reference: renderer_tf_tex2D.cuh + Compute2DPreintegration-
@@ -2429,12 +2431,13 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         n_seg = bf_spec.n_seg
 
     rgbo = not net.output_mode.startswith("density")
-    if differentiable and tf_mode not in ("piecewise", "texture") \
+    if differentiable and tf_mode not in ("piecewise", "texture",
+                                          "gaussian", "preint1d") \
             and not rgbo:
         raise NotImplementedError(
-            "differentiable fused path: piecewise/texture TFs "
-            "(preintegrated/gaussian TFs train through the plain-JAX "
-            "oracle)")
+            "differentiable fused path: piecewise/texture/gaussian/"
+            "preint1d TFs (2D-preintegrated TFs train through the "
+            "plain-JAX oracle)")
     if iso_value is not None and (differentiable or need_normals or rgbo):
         raise ValueError("fused iso marching: forward-only density "
                          "networks (shading happens outside the kernel)")

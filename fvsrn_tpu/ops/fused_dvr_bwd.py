@@ -99,9 +99,10 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         stash_ref = refs[0]
         refs = refs[1:]
     assert not need_normals and not brdf and iso_value is None \
-        and tf_mode in ("piecewise", "texture"), \
-        "differentiable fused path: piecewise/texture TF, no normals/" \
-        "shading/iso"
+        and tf_mode in ("piecewise", "texture", "gaussian",
+                        "preint1d"), \
+        "differentiable fused path: piecewise/texture/gaussian/" \
+        "preint1d TF, no normals/shading/iso"
     carry_ref, dcarry_ref = refs[0], refs[1]
     (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref, w1cos_ref, w1sin_ref,
      w1lat_ref, b1_ref) = refs[2:10]
@@ -182,7 +183,8 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         density_min=density_min, density_max=density_max,
         stepsize=stepsize, early_alpha=early_alpha,
         compute_dtype=compute_dtype, has_direction=has_direction,
-        latent_boxfeat=bool(latent_boxfeat), tf_mode=tf_mode)
+        latent_boxfeat=bool(latent_boxfeat), tf_mode=tf_mode,
+        tf_pre_rows=tf_pre_rows)
     dcarry_in_ref[:] = dcarry_rows
     _emit_dlat(d_lat, wrep, oh, bf_aux, rows_ref,
                dlat_ref=dlat_ref, dslot_ref=dslot_ref,
@@ -200,7 +202,8 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
                      compute_dtype, has_direction,
                      latent_boxfeat: bool, fourier_rot=None,
                      want_ray_grads: bool = False,
-                     tf_mode: str = "piecewise"):
+                     tf_mode: str = "piecewise",
+                     tf_pre_rows: int = 0):
     """Layout-agnostic adjoint of one (ray-tile, segment): forward MLP
     replay, TF replay, blending replay, reverse compositing chain, TF
     control-point gradients, and transposed-weight MLP adjoint with
@@ -389,6 +392,61 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
                             ).reshape(seg, tile) for c in range(4)]
             rgba[3] = rgba[3] * stepsize    # alpha column pre-scaled
             absorption = rgba[3]
+        elif tf_mode == "preint1d":
+            # 1D-preintegrated TF replay (mirrors _march_epilogue;
+            # reference: renderer_tf_texture.cuh:62-84 + the cumulative
+            # table of Compute1DPreintegrationTable)
+            d_clip_flat = d_clip.reshape(1, n_all)
+            plain8 = _fd._lut4(tf_ref[0:tf_points, :], d_clip_flat,
+                               tf_points, "texture")            # (8, N)
+            prev2 = jnp.concatenate(
+                [carry[4:5, :], density2[:seg - 1, :]], axis=0)
+            first2 = None
+            if latent_boxfeat:
+                first2 = kk.reshape(seg, tile) == tmin
+                prev2 = jnp.where(first2, -1.0, prev2)
+            prev_flat = prev2.reshape(1, n_all)
+            sent = prev_flat < 0
+            prev_eff = jnp.where(sent, d_clip_flat, prev_flat)
+            pre_tbl = tf_ref[tf_points:tf_points + tf_pre_rows, :]
+            vsf8 = _fd._lut4(pre_tbl, prev_eff, tf_pre_rows,
+                             "cumulative")
+            vsb8 = _fd._lut4(pre_tbl, d_clip_flat, tf_pre_rows,
+                             "cumulative")
+            denom = d_clip_flat - prev_eff
+            near = jnp.abs(denom) < 1e-3
+            safe = jnp.where(near, 1.0, denom)
+            coef = stepsize / safe
+            rgb_p = (vsb8[0:3, :] - vsf8[0:3, :]) * coef
+            m_p = (vsb8[3:4, :] - vsf8[3:4, :]) * coef
+            alpha_p = 1.0 - jnp.exp(-m_p)
+            inv_a = jnp.where(alpha_p > 1e-5,
+                              1.0 / jnp.maximum(alpha_p, 1e-5), 1.0)
+            pre4 = jnp.concatenate([rgb_p * inv_a, alpha_p], axis=0)
+            plain4 = jnp.concatenate(
+                [plain8[0:3, :], plain8[3:4, :] * stepsize], axis=0)
+            near4 = jnp.concatenate([near] * 4, axis=0)
+            rgba_flat4 = jnp.where(near4, plain4, pre4)
+            rgba = [jnp.dot(eye48[c:c + 1, 0:4], rgba_flat4,
+                            preferred_element_type=f32
+                            ).reshape(seg, tile) for c in range(4)]
+            absorption = rgba[3]       # already an opacity
+        elif tf_mode == "gaussian":
+            # sum-of-gaussians replay (mirrors _march_epilogue;
+            # reference: renderer_tf_gaussian.cuh:36-88 plain mode)
+            d_clip_flat = d_clip.reshape(1, n_all)
+            tfg = tf_ref[:].astype(f32)                  # (G, 6)
+            g_mu = tfg[:, 4:5]
+            g_sg = tfg[:, 5:6]
+            g_w = jnp.exp(-((d_clip_flat - g_mu) ** 2)
+                          / (g_sg * g_sg))               # (G, N)
+            rgba_flat = jax.lax.dot_general(
+                tfg[:, 0:4], g_w, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)              # (4, N)
+            rgba = [jnp.dot(eye48[c:c + 1, 0:4], rgba_flat,
+                            preferred_element_type=f32
+                            ).reshape(seg, tile) for c in range(4)]
+            absorption = rgba[3] * stepsize
         else:
             raise NotImplementedError(
                 f"fused backward: tf_mode {tf_mode!r}")
@@ -464,11 +522,12 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
                 d_absn = d_ca * jnp.exp(-absn)
             else:
                 d_absn = d_ca * (absn < 1.0)
-            # cotangent wrt rgba[3]: piecewise/rgbo scale by stepsize
-            # in the blend (absorption = rgba[3]*h); the texture path's
-            # rgba[3] IS the pre-scaled absorption
-            d_rgba.append(d_absn * (1.0 if tf_mode == "texture"
-                                    and not rgbo_out else stepsize))
+            # cotangent wrt rgba[3]: piecewise/rgbo/gaussian scale by
+            # stepsize in the blend (absorption = rgba[3]*h); the
+            # texture/preint paths' rgba[3] IS the absorption already
+            d_rgba.append(d_absn * (
+                1.0 if tf_mode in ("texture", "preint1d")
+                and not rgbo_out else stepsize))
             d_alpha0 = P[0:1, :] * d_alpha_in + Q[0:1, :]
             dcarry_rows = jnp.concatenate(
                 d_rgb + [d_alpha0, jnp.zeros((4, tile), f32)], axis=0)
@@ -591,6 +650,134 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
         d_s = jnp.dot(jnp.ones((1, 8), f32), dflat8 * diff8,
                       preferred_element_type=f32) * dx_ds      # (1, N)
         d_dclip = d_s.reshape(d_clip.shape)
+    elif tf_mode == "preint1d":
+        # 1D-preintegration adjoint: both LUT chains (plain table at
+        # d_clip for the near branch; cumulative table at prev_eff AND
+        # d_clip for the preintegrated branch), the 1/(d - prev)
+        # quotient, alpha = 1-exp(-m), the premultiplied-color inv_a,
+        # and the PREVIOUS-DENSITY chain: row j's prev cotangent shifts
+        # to density j-1, row 0's rides dcarry row 4 to the previous
+        # segment program (segments run in reverse, so the chain
+        # composes exactly like the forward's prev carry).
+        @pl.when(first)
+        def _init_tf():
+            dtf_ref[:] = jnp.zeros_like(dtf_ref)   # VMEM array accum
+
+        d4 = jnp.concatenate(
+            [d_rgba[c].reshape(1, n_all) for c in range(4)], axis=0)
+        near4f = near4.astype(f32)
+        d4n = d4 * near4f
+        d4p = d4 * (1.0 - near4f)
+        rows_total = tf_ref.shape[0]
+        iot_all = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_total, n_all), 0).astype(f32)
+
+        def lut_adj(s_flat, r, convention, row_offset, dflat8):
+            """Accumulate d_table into dtf_ref rows [row_offset,
+            row_offset+r) and return d_s (gated cumulative slope)."""
+            lo, hi, fq, dx_ds = _fd._lut4_weights(s_flat, r, convention)
+            lo_g = lo + float(row_offset)
+            hi_g = hi + float(row_offset)
+            wlo = (iot_all == lo_g).astype(f32)
+            whi = (iot_all == hi_g).astype(f32)
+            if "tfadj" not in _ABLATE:
+                wmat = wlo * (1.0 - fq) + whi * fq
+                dtf_ref[:] += jax.lax.dot_general(
+                    wmat, dflat8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+            diff8 = jax.lax.dot_general(
+                tf_ref[:].astype(f32), whi - wlo,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)            # (8, N)
+            d_s = jnp.dot(jnp.ones((1, 8), f32), dflat8 * diff8,
+                          preferred_element_type=f32) * dx_ds
+            if convention == "cumulative":
+                # x = clip(s, 0, 1) * (r-1): zero slope outside [0, 1]
+                d_s = jnp.where((s_flat > 0.0) & (s_flat < 1.0),
+                                d_s, 0.0)
+            return d_s
+
+        def pad8r(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((8 - a.shape[0], n_all), f32)], axis=0)
+
+        # near branch: the plain texture fetch (alpha column scaled h)
+        dplain8 = pad8r(jnp.concatenate(
+            [d4n[0:3, :], d4n[3:4, :] * stepsize], axis=0))
+        d_dclip_f = lut_adj(d_clip_flat, tf_points, "texture", 0,
+                            dplain8)
+
+        # preintegrated branch
+        d_rgbp = d4p[0:3, :] * inv_a
+        d_inv_a = jnp.dot(jnp.ones((1, 3), f32), d4p[0:3, :] * rgb_p,
+                          preferred_element_type=f32)
+        d_alpha_p = d4p[3:4, :] + d_inv_a * jnp.where(
+            alpha_p > 1e-5,
+            -1.0 / (jnp.maximum(alpha_p, 1e-5) ** 2), 0.0)
+        d_m = d_alpha_p * jnp.exp(-m_p)
+        dv8 = pad8r(jnp.concatenate([d_rgbp * coef, d_m * coef],
+                                    axis=0))
+        # d wrt safe (= denom off the near branch): rgb_p = dv*coef,
+        # coef = h/safe -> d_safe = -(sum d_rgbp*rgb_p + d_m*m)/safe
+        d_safe = -(jnp.dot(jnp.ones((1, 3), f32), d_rgbp * rgb_p,
+                           preferred_element_type=f32)
+                   + d_m * m_p) / safe
+        d_denom = jnp.where(near, 0.0, d_safe)
+        d_dclip_f += lut_adj(d_clip_flat, tf_pre_rows, "cumulative",
+                             tf_points, dv8) + d_denom
+        d_prev_eff = lut_adj(prev_eff, tf_pre_rows, "cumulative",
+                             tf_points, -dv8) - d_denom
+        # prev_eff = where(sent, d_clip, prev)
+        d_dclip_f += jnp.where(sent, d_prev_eff, 0.0)
+        d_prev_flat = jnp.where(sent, 0.0, d_prev_eff)
+        d_prev2 = d_prev_flat.reshape(seg, tile)
+        # shift: row j's prev = density j-1; row 0 -> carry row 4 of
+        # the PREVIOUS segment; incoming dcarry row 4 = the NEXT
+        # segment's prev cotangent -> this segment's last density
+        d_density2_prev = jnp.concatenate(
+            [d_prev2[1:, :], dcarry[4:5, :]], axis=0)
+        d_prev_carry = d_prev2[0:1, :]
+        dcarry_rows = jnp.concatenate(
+            [dcarry_rows[0:4, :], d_prev_carry,
+             jnp.zeros((3, tile), f32)], axis=0)
+        d_dclip = d_dclip_f.reshape(seg, tile)
+    elif tf_mode == "gaussian":
+        # sum-of-gaussians adjoint: analytic chains for colors/opacity
+        # (one MXU contraction into the (G, 4) block), means, widths,
+        # and the density (reference: the gaussian TF trains in
+        # raytracing.py's backward like every other TF mode)
+        @pl.when(first)
+        def _init_tf():
+            for k in range(tf_ref.shape[0]):
+                for c in range(tf_ref.shape[1]):
+                    dtf_ref[k, c] = jnp.float32(0.0)
+
+        # d_rgba[3] is already the cotangent wrt the RAW gaussian
+        # opacity (the blend adjoint folded absorption = rgba[3]*h)
+        dflat4 = jnp.concatenate(
+            [d_rgba[c].reshape(1, n_all) for c in range(4)],
+            axis=0)                                      # (4, N)
+        # d wrt the per-gaussian weight row: (G, N)
+        d_gw = jax.lax.dot_general(
+            tfg[:, 0:4], dflat4, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        u = (d_clip_flat - g_mu) / (g_sg * g_sg)         # (G, N)
+        core = d_gw * g_w                                 # (G, N)
+        n_g = tf_ref.shape[0]
+        ones_g = jnp.ones((1, n_g), f32)
+        d_dclip = jnp.dot(ones_g, core * (-2.0) * u,
+                          preferred_element_type=f32
+                          ).reshape(d_clip.shape)
+        # per-gaussian scalar gradients (G is small -- scalar sums like
+        # the piecewise control-point accumulation)
+        d_mu_rows = 2.0 * core * u                       # (G, N)
+        d_sg_rows = 2.0 * core * u * (d_clip_flat - g_mu) / g_sg
+        for g in range(n_g):
+            for c in range(4):
+                dtf_ref[g, c] += jnp.sum(
+                    g_w[g:g + 1, :] * dflat4[c:c + 1, :])
+            dtf_ref[g, 4] += jnp.sum(d_mu_rows[g:g + 1, :])
+            dtf_ref[g, 5] += jnp.sum(d_sg_rows[g:g + 1, :])
     else:
         # piecewise TF adjoint (reference: piecewise TF control points;
         # gradients for colors/opacity and knot positions,
@@ -625,6 +812,9 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
     if not rgbo_out:
         d_density2 = jnp.where((density2 > 0) & (density2 < 1),
                                d_dclip, 0.0)
+        if tf_mode == "preint1d":
+            # the prev-density chain consumes density2 UNCLIPPED
+            d_density2 = d_density2 + d_density2_prev
         d_value = d_density2 * inv_range
         y2 = y.reshape(value2.shape)
         if output_mode == "density:direct":
@@ -989,15 +1179,15 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
                          memory_space=pltpu.VMEM)
             for w in wlist[:-1]    # all weights except tf...
         ] + [
-            # d_tf: scalar SMEM accumulation for the few-point piecewise
-            # TF; the texture table (256 rows) accumulates as a VMEM
-            # array via one MXU contraction per program
+            # d_tf: scalar SMEM accumulation for the few-point
+            # piecewise/gaussian TFs; texture/preint tables (up to
+            # 256+rows) accumulate as VMEM arrays via MXU contractions
             pl.BlockSpec(wlist[-1].shape,
                          (lambda i, nd=wlist[-1].ndim: (0,) * nd),
                          memory_space=(
                              pltpu.VMEM
-                             if kernel_kwargs.get("tf_mode",
-                                                  "piecewise") == "texture"
+                             if kernel_kwargs.get("tf_mode", "piecewise")
+                             in ("texture", "preint1d")
                              else pltpu.SMEM))
         ]
         out_shapes += [

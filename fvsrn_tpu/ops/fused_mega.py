@@ -36,9 +36,10 @@ density AND rgbo outputs, piecewise/texture/1D-preintegrated/gaussian
 TFs, adjoint normals + Lambert/Blinn-Phong shading, isosurface
 first-crossing, optional direction input, static or keyframed latent
 grids (pre-lerped per frame), per-ray tmax_clip. The differentiable
-backward covers density AND rgbo outputs x piecewise AND texture-LUT
-TFs (like the per-segment engine); preintegrated/gaussian TFs and
-shaded losses train through the plain-JAX oracle.
+backward covers density AND rgbo outputs x piecewise/texture-LUT/
+gaussian/1D-preintegrated TFs (like the per-segment engine);
+2D-preintegrated TFs and shaded losses train through the plain-JAX
+oracle.
 
 Reference analogy: this is the closest TPU shape to the reference's
 single-kernel design -- renderer_volume_tensorcores.cuh keeps weights
@@ -388,7 +389,8 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
                      resolve_groups: int = 1,
                      mspec_fine: Optional[MegaSpec] = None,
                      want_ray_grads: bool = False,
-                     tf_mode: str = "piecewise"):
+                     tf_mode: str = "piecewise",
+                     tf_pre_rows: int = 0):
     """Backward of one (ray-tile, segment) program, segments visited in
     REVERSE (the incoming-carry cotangent chains through the dcarry
     scratch). Latent-grid gradients accumulate into the dtab scratch
@@ -444,7 +446,7 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             r[:] = jnp.zeros_like(r)
         for r in grad_refs[8] + grad_refs[9]:
             r[:] = jnp.zeros_like(r)
-        if tf_mode == "texture":
+        if tf_mode in ("texture", "preint1d"):
             dtf_ref[:] = jnp.zeros_like(dtf_ref)   # VMEM array accum
         else:
             for k in range(tf_points):
@@ -508,7 +510,8 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             compute_dtype=compute_dtype, has_direction=has_direction,
             latent_boxfeat=True,
             fourier_rot=(seg, _step_delta(rays, stepsize, box_size)),
-            want_ray_grads=want_ray_grads, tf_mode=tf_mode)
+            want_ray_grads=want_ray_grads, tf_mode=tf_mode,
+            tf_pre_rows=tf_pre_rows)
         dcarry_s[:] = dcarry_rows
         cd = compute_dtype
         if want_ray_grads:
@@ -643,8 +646,7 @@ def _mega_bwd_statics(statics: dict) -> dict:
     through to bwd_segment_core); normals/shading/iso/preintegration
     extras are forward-only and guarded in mega_trace_dvr."""
     return {k: v for k, v in statics.items()
-            if k not in ("need_normals", "brdf",
-                         "tf_pre_rows", "iso_value")}
+            if k not in ("need_normals", "brdf", "iso_value")}
 
 
 def _const_spec(w):
@@ -710,13 +712,13 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                          "box_size") from e
     rgbo = not net.output_mode.startswith("density")
     if differentiable and (need_normals or iso_value is not None
-                           or (tf_mode not in ("piecewise", "texture")
+                           or (tf_mode not in ("piecewise", "texture",
+                                               "gaussian", "preint1d")
                                and not rgbo)):
         raise NotImplementedError(
             "megakernel backward: density/rgbo outputs x piecewise/"
-            "texture TFs, no normals/shading/iso (same matrix as the "
-            "per-segment engine; preintegrated/gaussian TFs train "
-            "through the plain-JAX oracle)")
+            "texture/gaussian/preint1d TFs, no normals/shading/iso "
+            "(2D-preintegrated TFs train through the plain-JAX oracle)")
     if iso_value is not None and (need_normals or rgbo):
         raise ValueError("fused iso marching: forward-only density "
                          "networks (shading happens outside the kernel)")
@@ -995,7 +997,8 @@ def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
                      (lambda t, s, nd=wlist_shapes[-1].ndim:
                       (0,) * nd),
                      memory_space=(pltpu.VMEM
-                                   if statics.get("tf_mode") == "texture"
+                                   if statics.get("tf_mode")
+                                   in ("texture", "preint1d")
                                    else pltpu.SMEM))]         # d_tf
     out_shapes += [jax.ShapeDtypeStruct(w.shape, dtype)
                    for w in wlist_shapes]

@@ -2033,3 +2033,124 @@ def test_fused_latent_vectors_fold_matches_plain(with_grid):
         np.testing.assert_allclose(
             np.asarray(g_f.latent.static_grid),
             np.asarray(g_p.latent.static_grid), atol=2e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("engine", ["scan", "mega"])
+def test_fused_gaussian_tf_backward_matches_autodiff_of_plain(engine):
+    """Differentiable sum-of-gaussians TF through the fused backward
+    (analytic chains for colors/opacity, means, widths, and density --
+    the TF trains through raytracing.py's backward in the reference
+    like every other mode)."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    from fvsrn_tpu.transfer import TransferFunctionGaussian
+    net, _, rs, rd = _scene(True, output_mode="density")
+    rng = np.random.default_rng(6)
+    g = np.zeros((3, 6), np.float32)
+    g[:, 0:3] = rng.random((3, 3))
+    g[:, 3] = [10.0, 20.0, 15.0]
+    g[:, 4] = [0.3, 0.55, 0.8]
+    g[:, 5] = [0.08, 0.05, 0.1]
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(0).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss_fused(net, tft):
+        kw = dict(stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+                  enable_early_out=False, differentiable=True,
+                  tf_mode="gaussian", interpret=True)
+        if engine == "mega":
+            c = mega_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                               (1.0, 1.0, 1.0), tft, **kw)
+        else:
+            c = fused_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                                (1.0, 1.0, 1.0), tft,
+                                latent_mode="boxfeat", **kw)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net, tft):
+        out = _plain_lattice(
+            net, TransferFunctionGaussian(tensor=tft),
+            rs, rd, stepsize, steps, False).color
+        return jnp.mean((out - tgt) ** 2)
+
+    tft = jnp.asarray(g)
+    np.testing.assert_allclose(float(loss_fused(net, tft)),
+                               float(loss_plain(net, tft)),
+                               rtol=1e-5)
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(net, tft)
+    g_p = jax.grad(loss_plain, argnums=(0, 1))(net, tft)
+    # 1e-4: these gaussians' opacity slopes (~2*A/sg ~ 800/unit) are
+    # ~7x the piecewise tests' -- f32 replay noise amplifies
+    # proportionally; chains are verified by the loss equality above
+    np.testing.assert_allclose(
+        np.asarray(g_f[0].latent.static_grid),
+        np.asarray(g_p[0].latent.static_grid), atol=1e-4, rtol=1e-3)
+    for lf, lp in zip(g_f[0].layers, g_p[0].layers):
+        np.testing.assert_allclose(np.asarray(lf.weight),
+                                   np.asarray(lp.weight),
+                                   atol=1e-4, rtol=1e-3)
+    # full 6-column TF gradient: colors/opacity + mean + width
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_p[1]),
+                               atol=1e-4, rtol=1e-3)
+    assert np.abs(np.asarray(g_p[1][:, 4:6])).max() > 0  # mu/sg train
+
+
+@pytest.mark.parametrize("engine", ["scan", "mega"])
+def test_fused_preint1d_backward_matches_autodiff_of_plain(engine):
+    """Differentiable 1D-PREINTEGRATED TF through the fused backward:
+    both LUT chains, the 1/(d-prev) quotient, alpha=1-exp(-m), inv_a,
+    and the previous-density cotangent chained across steps AND
+    segments through dcarry row 4 (reference: raytracing.py's backward
+    differentiates the preintegrated _predict like every mode)."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    from fvsrn_tpu.transfer import TransferFunctionTexture
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf0 = _texture_tf().with_preintegration(resolution=128)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(0).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss_fused(net, tft, pre):
+        kw = dict(stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+                  enable_early_out=False, differentiable=True,
+                  tf_mode="preint1d", tf_pre=pre, interpret=True)
+        if engine == "mega":
+            c = mega_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                               (1.0, 1.0, 1.0), tft, **kw)
+        else:
+            c = fused_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                                (1.0, 1.0, 1.0), tft,
+                                latent_mode="boxfeat", **kw)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net, tft, pre):
+        tf = TransferFunctionTexture(tensor=tft, preintegrated=pre,
+                                     preintegration_mode=1)
+        out = _plain_lattice(net, tf, rs, rd, stepsize, steps,
+                             False).color
+        return jnp.mean((out - tgt) ** 2)
+
+    tft = jnp.asarray(tf0.tensor)
+    pre = jnp.asarray(tf0.preintegrated)
+    np.testing.assert_allclose(float(loss_fused(net, tft, pre)),
+                               float(loss_plain(net, tft, pre)),
+                               rtol=1e-5)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(net, tft, pre)
+    g_p = jax.grad(loss_plain, argnums=(0, 1, 2))(net, tft, pre)
+    # the near-branch selector (|d-prev| < 1e-3) makes a few samples'
+    # chains branch-sensitive to f32 noise; tolerances sized like the
+    # gaussian test's
+    np.testing.assert_allclose(
+        np.asarray(g_f[0].latent.static_grid),
+        np.asarray(g_p[0].latent.static_grid), atol=1e-4, rtol=1e-3)
+    for lf, lp in zip(g_f[0].layers, g_p[0].layers):
+        np.testing.assert_allclose(np.asarray(lf.weight),
+                                   np.asarray(lp.weight),
+                                   atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_p[1]),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f[2]), np.asarray(g_p[2]),
+                               atol=1e-4, rtol=1e-3)
+    assert np.abs(np.asarray(g_p[2])).max() > 0   # cumulative trains
