@@ -2431,13 +2431,9 @@ def fused_trace_dvr(ray_start: Array, ray_dir: Array,
         n_seg = bf_spec.n_seg
 
     rgbo = not net.output_mode.startswith("density")
-    if differentiable and tf_mode not in ("piecewise", "texture",
-                                          "gaussian", "preint1d") \
-            and not rgbo:
-        raise NotImplementedError(
-            "differentiable fused path: piecewise/texture/gaussian/"
-            "preint1d TFs (2D-preintegrated TFs train through the "
-            "plain-JAX oracle)")
+    # every TF mode differentiates in-kernel (preint2d trains its
+    # table only -- the nearest-cell lookup has zero density gradient,
+    # matching jax.grad of the plain oracle)
     if iso_value is not None and (differentiable or need_normals or rgbo):
         raise ValueError("fused iso marching: forward-only density "
                          "networks (shading happens outside the kernel)")

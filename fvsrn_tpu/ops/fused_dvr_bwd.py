@@ -100,9 +100,9 @@ def _segment_bwd_kernel(s_ref, rays_ref, lat_ref, *refs,
         refs = refs[1:]
     assert not need_normals and not brdf and iso_value is None \
         and tf_mode in ("piecewise", "texture", "gaussian",
-                        "preint1d"), \
+                        "preint1d", "preint2d"), \
         "differentiable fused path: piecewise/texture/gaussian/" \
-        "preint1d TF, no normals/shading/iso"
+        "preint1d/preint2d TF, no normals/shading/iso"
     carry_ref, dcarry_ref = refs[0], refs[1]
     (fourier_ref, fdir_ref, w1pos_ref, w1dir_ref, w1cos_ref, w1sin_ref,
      w1lat_ref, b1_ref) = refs[2:10]
@@ -431,6 +431,48 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
                             preferred_element_type=f32
                             ).reshape(seg, tile) for c in range(4)]
             absorption = rgba[3]       # already an opacity
+        elif tf_mode == "preint2d":
+            # 2D-preintegration replay (mirrors _march_epilogue;
+            # reference: renderer_tf_tex2D.cuh nearest (front, back)
+            # cell)
+            d_clip_flat = d_clip.reshape(1, n_all)
+            prev2 = jnp.concatenate(
+                [carry[4:5, :], density2[:seg - 1, :]], axis=0)
+            first2 = None
+            if latent_boxfeat:
+                first2 = kk.reshape(seg, tile) == tmin
+                prev2 = jnp.where(first2, -1.0, prev2)
+            prev_flat = prev2.reshape(1, n_all)
+            prev_eff = jnp.where(prev_flat < 0, d_clip_flat,
+                                 jnp.clip(prev_flat, 0.0, 1.0))
+            r2 = tf_pre_rows
+            fr2 = jnp.float32(r2)
+            i_f = jnp.minimum(jnp.floor(prev_eff * fr2), fr2 - 1.0)
+            j_b = jnp.minimum(jnp.floor(d_clip_flat * fr2), fr2 - 1.0)
+            iot2 = jax.lax.broadcasted_iota(
+                jnp.int32, (r2, n_all), 0).astype(f32)
+            fsel = (iot2 == i_f).astype(f32)
+            bsel = (iot2 == j_b).astype(f32)
+            ones_r2 = jnp.ones((1, r2), f32)
+            tf_all2 = tf_ref[:].astype(f32)
+            vals = []
+            for c in range(4):
+                a_c = tf_all2[c * r2:(c + 1) * r2, :]
+                m_c = jax.lax.dot_general(
+                    a_c, bsel, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                vals.append(jnp.dot(ones_r2, fsel * m_c,
+                                    preferred_element_type=f32))
+            w_a = vals[3]
+            inv_a = jnp.where(w_a > 1e-5,
+                              1.0 / jnp.maximum(w_a, 1e-5), 1.0)
+            rgba_flat4 = jnp.concatenate(
+                [vals[0] * inv_a, vals[1] * inv_a, vals[2] * inv_a,
+                 w_a], axis=0)
+            rgba = [jnp.dot(eye48[c:c + 1, 0:4], rgba_flat4,
+                            preferred_element_type=f32
+                            ).reshape(seg, tile) for c in range(4)]
+            absorption = rgba[3]       # premultiplied opacity
         elif tf_mode == "gaussian":
             # sum-of-gaussians replay (mirrors _march_epilogue;
             # reference: renderer_tf_gaussian.cuh:36-88 plain mode)
@@ -526,7 +568,7 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
             # stepsize in the blend (absorption = rgba[3]*h); the
             # texture/preint paths' rgba[3] IS the absorption already
             d_rgba.append(d_absn * (
-                1.0 if tf_mode in ("texture", "preint1d")
+                1.0 if tf_mode in ("texture", "preint1d", "preint2d")
                 and not rgbo_out else stepsize))
             d_alpha0 = P[0:1, :] * d_alpha_in + Q[0:1, :]
             dcarry_rows = jnp.concatenate(
@@ -741,6 +783,39 @@ def bwd_segment_core(*, x, dirs, lat, carry, dcarry, tval, kk, tmin, tmax,
             [dcarry_rows[0:4, :], d_prev_carry,
              jnp.zeros((3, tile), f32)], axis=0)
         d_dclip = d_dclip_f.reshape(seg, tile)
+    elif tf_mode == "preint2d":
+        # 2D-preintegration adjoint: per-channel plane gradients via
+        # the (front, back) one-hot outer contraction. The nearest-cell
+        # lookup is piecewise-constant in BOTH densities, so the
+        # density/prev cotangents are zero almost everywhere -- exactly
+        # what jax.grad of the plain oracle produces (floor/gather have
+        # zero gradient); only the 2D table trains in this mode.
+        @pl.when(first)
+        def _init_tf():
+            dtf_ref[:] = jnp.zeros_like(dtf_ref)   # VMEM array accum
+
+        d4 = jnp.concatenate(
+            [d_rgba[c].reshape(1, n_all) for c in range(4)], axis=0)
+        d_inv_a = (jnp.dot(eye48[0:1, 0:4], d4,
+                           preferred_element_type=f32) * vals[0]
+                   + jnp.dot(eye48[1:2, 0:4], d4,
+                             preferred_element_type=f32) * vals[1]
+                   + jnp.dot(eye48[2:3, 0:4], d4,
+                             preferred_element_type=f32) * vals[2])
+        dv = [jnp.dot(eye48[c:c + 1, 0:4], d4,
+                      preferred_element_type=f32) * inv_a
+              for c in range(3)]
+        dv.append(jnp.dot(eye48[3:4, 0:4], d4,
+                          preferred_element_type=f32)
+                  + d_inv_a * jnp.where(
+                      w_a > 1e-5,
+                      -1.0 / (jnp.maximum(w_a, 1e-5) ** 2), 0.0))
+        if "tfadj" not in _ABLATE:
+            for c in range(4):
+                dtf_ref[c * r2:(c + 1) * r2, :] += jax.lax.dot_general(
+                    fsel * dv[c], bsel, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+        d_dclip = jnp.zeros_like(d_clip)
     elif tf_mode == "gaussian":
         # sum-of-gaussians adjoint: analytic chains for colors/opacity
         # (one MXU contraction into the (G, 4) block), means, widths,
@@ -1187,7 +1262,7 @@ def make_segment_op(*, kernel_fwd, grid_spec_fwd, r_total, n_tiles,
                          memory_space=(
                              pltpu.VMEM
                              if kernel_kwargs.get("tf_mode", "piecewise")
-                             in ("texture", "preint1d")
+                             in ("texture", "preint1d", "preint2d")
                              else pltpu.SMEM))
         ]
         out_shapes += [

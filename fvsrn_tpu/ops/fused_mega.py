@@ -446,7 +446,7 @@ def _mega_bwd_kernel(k0t_ref, bases_ref, rays_ref, *refs,
             r[:] = jnp.zeros_like(r)
         for r in grad_refs[8] + grad_refs[9]:
             r[:] = jnp.zeros_like(r)
-        if tf_mode in ("texture", "preint1d"):
+        if tf_mode in ("texture", "preint1d", "preint2d"):
             dtf_ref[:] = jnp.zeros_like(dtf_ref)   # VMEM array accum
         else:
             for k in range(tf_points):
@@ -713,12 +713,14 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
     rgbo = not net.output_mode.startswith("density")
     if differentiable and (need_normals or iso_value is not None
                            or (tf_mode not in ("piecewise", "texture",
-                                               "gaussian", "preint1d")
+                                               "gaussian", "preint1d",
+                                               "preint2d")
                                and not rgbo)):
         raise NotImplementedError(
-            "megakernel backward: density/rgbo outputs x piecewise/"
-            "texture/gaussian/preint1d TFs, no normals/shading/iso "
-            "(2D-preintegrated TFs train through the plain-JAX oracle)")
+            "megakernel backward: density/rgbo outputs x every TF mode "
+            "(piecewise/texture/gaussian/preint1d/preint2d); "
+            "normals/shading/iso losses train through the plain-JAX "
+            "oracle)")
     if iso_value is not None and (need_normals or rgbo):
         raise ValueError("fused iso marching: forward-only density "
                          "networks (shading happens outside the kernel)")
@@ -998,7 +1000,7 @@ def _make_mega_op(*, statics, n_tiles, n_seg, r_total, tile, in_specs,
                       (0,) * nd),
                      memory_space=(pltpu.VMEM
                                    if statics.get("tf_mode")
-                                   in ("texture", "preint1d")
+                                   in ("texture", "preint1d", "preint2d")
                                    else pltpu.SMEM))]         # d_tf
     out_shapes += [jax.ShapeDtypeStruct(w.shape, dtype)
                    for w in wlist_shapes]

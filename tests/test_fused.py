@@ -2154,3 +2154,58 @@ def test_fused_preint1d_backward_matches_autodiff_of_plain(engine):
     np.testing.assert_allclose(np.asarray(g_f[2]), np.asarray(g_p[2]),
                                atol=1e-4, rtol=1e-3)
     assert np.abs(np.asarray(g_p[2])).max() > 0   # cumulative trains
+
+
+@pytest.mark.parametrize("engine", ["scan", "mega"])
+def test_fused_preint2d_backward_matches_autodiff_of_plain(engine):
+    """Differentiable 2D-PREINTEGRATED TF through the fused backward:
+    per-channel plane gradients via the (front, back) one-hot outer
+    contraction. The nearest-cell lookup is piecewise-constant in both
+    densities, so density/prev gradients are zero a.e. -- exactly what
+    jax.grad of the plain oracle produces; this mode trains the 2D
+    table (reference: renderer_tf_tex2D.cuh)."""
+    from fvsrn_tpu.ops.fused_mega import mega_trace_dvr
+    from fvsrn_tpu.transfer import TransferFunctionTexture
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf0 = _texture_tf().with_preintegration_2d(resolution=64,
+                                               stepsize=1 / 32)
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    tgt = np.random.default_rng(0).random((rs.shape[0], 4)).astype(
+        np.float32)
+
+    def loss_fused(net, tft, pre):
+        kw = dict(stepsize=stepsize, max_steps=steps, seg=16, tile=64,
+                  enable_early_out=False, differentiable=True,
+                  tf_mode="preint2d", tf_pre=pre, interpret=True)
+        if engine == "mega":
+            c = mega_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                               (1.0, 1.0, 1.0), tft, **kw)
+        else:
+            c = fused_trace_dvr(rs, rd, net, (-0.5, -0.5, -0.5),
+                                (1.0, 1.0, 1.0), tft,
+                                latent_mode="boxfeat", **kw)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_plain(net, tft, pre):
+        tf = TransferFunctionTexture(tensor=tft, preintegrated=pre,
+                                     preintegration_mode=2)
+        out = _plain_lattice(net, tf, rs, rd, stepsize, steps,
+                             False).color
+        return jnp.mean((out - tgt) ** 2)
+
+    tft = jnp.asarray(tf0.tensor)
+    pre = jnp.asarray(tf0.preintegrated)
+    np.testing.assert_allclose(float(loss_fused(net, tft, pre)),
+                               float(loss_plain(net, tft, pre)),
+                               rtol=1e-5)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(net, tft, pre)
+    g_p = jax.grad(loss_plain, argnums=(0, 1, 2))(net, tft, pre)
+    # density gradient is zero a.e. -> network/latent grads match
+    # (both zero up to boundary-sample noise)
+    np.testing.assert_allclose(
+        np.asarray(g_f[0].latent.static_grid),
+        np.asarray(g_p[0].latent.static_grid), atol=2e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_f[2]), np.asarray(g_p[2]),
+                               atol=2e-5, rtol=1e-3)
+    assert np.abs(np.asarray(g_p[2])).max() > 0   # the 2D table trains
