@@ -14,7 +14,9 @@ Provided codecs (from scratch, no vendored coders):
   truncation plus fp16 factor storage and native-LZ4 entropy coding.
 - ``dwt``: multi-level CDF 9/7 lifting DWT + uniform quantization +
   arithmetic bitplane coding -- the cudaCompress pipeline shape
-  (DWT/quantizer/coder), built from scratch.
+  (DWT/quantizer/coder), built from scratch; ``dwt_chunked`` adds the
+  per-brick payload structure for INTERACTIVE decompression
+  (decode only the bricks a view touches, like compression_cu.cu).
 - ``quantize``: uniform scalar quantization to b bits + LZ4.
 
 Both report compressed byte sizes and reconstruction errors, and a
@@ -445,3 +447,76 @@ def compression_teaser(volume: np.ndarray, network_bytes: int) -> dict:
     results["network"] = {"bytes": network_bytes,
                           "ratio": volume.nbytes / max(network_bytes, 1)}
     return results
+
+
+def compress_dwt_chunked(volume: np.ndarray, step: float = 3e-3,
+                         brick: int = 64, levels: int = 3,
+                         tracker: MemoryTracker | None = None
+                         ) -> CompressionResult:
+    """Chunked (per-brick) DWT codec -- the cudaCompress INTERACTIVE
+    decompression structure (reference: compression/src/compression.cpp
+    :821 area + compression_cu.cu: the GPU codec compresses bricks
+    independently so the renderer can decompress only the bricks a view
+    touches, streaming into mipmap surfaces). Each ``brick``^3 block is
+    an independent :func:`compress_dwt` payload addressable by
+    :func:`decompress_dwt_brick` without touching the rest."""
+    v = np.asarray(volume, np.float32)
+    if tracker:
+        tracker.alloc(v.nbytes)
+    for sdim in v.shape:
+        if sdim % brick:
+            raise ValueError(f"dims {v.shape} not divisible by "
+                             f"brick={brick}")
+    nb = tuple(sdim // brick for sdim in v.shape)
+    payloads = []
+    for bx in range(nb[0]):
+        for by in range(nb[1]):
+            for bz in range(nb[2]):
+                blk = v[bx * brick:(bx + 1) * brick,
+                        by * brick:(by + 1) * brick,
+                        bz * brick:(bz + 1) * brick]
+                r = compress_dwt(blk, step=step, levels=levels)
+                payloads.append(r.payload)
+    index = np.cumsum([0] + [len(p) for p in payloads]).astype(np.int64)
+    head = struct.pack("<4i", brick, *nb)
+    head += index.tobytes()
+    data = head + b"".join(payloads)
+    rec = decompress_dwt_chunked(data)
+    if tracker:
+        tracker.free(v.nbytes)
+    return CompressionResult(payload=data, compressed_bytes=len(data),
+                             raw_bytes=v.nbytes, psnr=_psnr(v, rec))
+
+
+def _dwt_chunk_header(data: bytes):
+    brick, nx, ny, nz = struct.unpack("<4i", data[:16])
+    n = nx * ny * nz
+    index = np.frombuffer(data[16:16 + 8 * (n + 1)], np.int64)
+    body = data[16 + 8 * (n + 1):]
+    return brick, (nx, ny, nz), index, body
+
+
+def decompress_dwt_brick(data: bytes, bx: int, by: int, bz: int
+                         ) -> np.ndarray:
+    """Decode ONE brick of a chunked payload (interactive
+    decompression: cost is proportional to the brick, not the
+    volume)."""
+    brick, nb, index, body = _dwt_chunk_header(data)
+    i = (bx * nb[1] + by) * nb[2] + bz
+    return decompress_dwt(body[index[i]:index[i + 1]])
+
+
+def decompress_dwt_chunked(data: bytes) -> np.ndarray:
+    brick, nb, index, body = _dwt_chunk_header(data)
+    out = np.empty((nb[0] * brick, nb[1] * brick, nb[2] * brick),
+                   np.float32)
+    i = 0
+    for bx in range(nb[0]):
+        for by in range(nb[1]):
+            for bz in range(nb[2]):
+                out[bx * brick:(bx + 1) * brick,
+                    by * brick:(by + 1) * brick,
+                    bz * brick:(bz + 1) * brick] = \
+                    decompress_dwt(body[index[i]:index[i + 1]])
+                i += 1
+    return out

@@ -238,3 +238,19 @@ def test_teaser_includes_dwt():
     vol = np.asarray(create_implicit_grid(16, "SPHERE"))
     out = compression_teaser(vol, network_bytes=2048)
     assert any(k.startswith("dwt@") for k in out)
+
+
+def test_dwt_chunked_brick_decompression():
+    """Chunked codec: per-brick payloads decode independently (the
+    cudaCompress interactive-decompression structure) and the full
+    round-trip matches the monolithic codec's distortion class."""
+    from fvsrn_tpu.compression import (compress_dwt_chunked,
+                                       decompress_dwt_brick,
+                                       decompress_dwt_chunked)
+    vol = np.asarray(create_implicit_grid(32, "SPHERE"))
+    r = compress_dwt_chunked(vol, step=3e-3, brick=16, levels=2)
+    assert r.psnr > 40
+    rec = decompress_dwt_chunked(r.payload)
+    assert np.abs(rec - vol).max() < 0.05
+    one = decompress_dwt_brick(r.payload, 1, 0, 1)
+    np.testing.assert_array_equal(one, rec[16:32, 0:16, 16:32])
