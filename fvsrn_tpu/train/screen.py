@@ -136,6 +136,25 @@ def screen_mega_kwargs(dataset: "ScreenDataset", network, *,
                 tile=tile, interpret=interpret)
 
 
+def _tf_mode_kwargs(tf) -> dict:
+    """Static fused-kernel TF options derived from the TF object, so
+    screen training routes EVERY TF family through the fused backward
+    (round 4: the differentiable matrix covers piecewise/texture/
+    gaussian/preint1d/preint2d; reference: raytracing.py:121-157
+    _predict dispatches on the TF the same way)."""
+    from ..transfer import (TransferFunctionGaussian,
+                            TransferFunctionTexture)
+    if isinstance(tf, TransferFunctionTexture):
+        if tf.preintegration_mode == 1:
+            return dict(tf_mode="preint1d", tf_pre=tf.preintegrated)
+        if tf.preintegration_mode == 2:
+            return dict(tf_mode="preint2d", tf_pre=tf.preintegrated)
+        return dict(tf_mode="texture")
+    if isinstance(tf, TransferFunctionGaussian):
+        return dict(tf_mode="gaussian")
+    return {}
+
+
 def evaluate_screen(network, batch_rays_start, batch_rays_dir,
                     batch_targets, tf, config: RayEvaluationSteppingDvr,
                     loss: LossNetScreen, max_steps: int,
@@ -150,6 +169,8 @@ def evaluate_screen(network, batch_rays_start, batch_rays_dir,
     netvol = VolumeInterpolationNetwork.make(network)
     fk = dict(fused_kwargs or {})
     engine = fk.pop("engine", "scan") if use_fused else "scan"
+    if use_fused and "tf_mode" not in fk:
+        fk.update(_tf_mode_kwargs(tf))
     if use_fused and engine == "mega":
         from ..ops.fused_mega import mega_trace_dvr
         perm = fk.pop("block_perm", None)

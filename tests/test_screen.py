@@ -129,3 +129,40 @@ def test_screen_training_mega_engine():
                               cameras_per_batch=1, max_steps=steps,
                               use_fused=True, fused_kwargs=fk)
     assert hist[-1] < hist[0], hist
+
+
+def test_screen_training_fused_texture_and_rgbo():
+    """Round-4: screen training routes texture TFs AND rgbo nets
+    through the fused backward end-to-end (evaluate_screen derives the
+    kernel's tf_mode from the TF object; reference: raytracing.py's
+    _predict dispatch) -- the loss drops in both configs."""
+    from fvsrn_tpu.models.latent import LatentSpace
+    from fvsrn_tpu.train.screen import evaluate_screen, screen_mega_kwargs
+    from fvsrn_tpu.transfer import TransferFunctionTexture
+
+    vol, _tf, cfg = _setup()
+    rng = np.random.default_rng(9)
+    tbl = rng.random((32, 4)).astype(np.float32)
+    tbl[:, 3] *= 15.0
+    tf = TransferFunctionTexture(tensor=jnp.asarray(tbl))
+    ds = build_screen_dataset(vol, tf, cfg, num_cameras=2, width=32,
+                              height=32)
+    steps = 48
+    for output_mode in ("density", "rgbo"):
+        latent = LatentSpace(static_grid=(
+            rng.standard_normal((4, 8, 8, 8)) * 0.1).astype(np.float32))
+        net = SceneRepresentationNetwork.make(
+            layers="16:16", activation="SnakeAlt:1", num_fourier=4,
+            output_mode=output_mode, latent=latent, seed=12)
+        loss = LossNetScreen(l1=1.0)
+        fk = screen_mega_kwargs(ds, net, stepsize=float(cfg.stepsize),
+                                max_steps=steps, seg=8, tile=64,
+                                interpret=True)
+        fk["enable_early_out"] = False
+        opt = make_optimizer("Adam", lr=5e-3, lr_step=1000,
+                             lr_gamma=0.5)
+        net2, hist = train_screen(net, ds, tf, cfg, loss, opt,
+                                  epochs=5, cameras_per_batch=1,
+                                  max_steps=steps, use_fused=True,
+                                  fused_kwargs=fk)
+        assert hist[-1] < hist[0], (output_mode, hist)

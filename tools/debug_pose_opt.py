@@ -3,7 +3,16 @@
 trajectory for (a) the plain lattice oracle and (b) the megakernel,
 same setup -- if BOTH bounce, the test's optimizer tuning fights the
 documented lattice staircase; if only (b) does, the fused ray/camera
-gradients or the stale footprint certificate are at fault."""
+gradients or the stale footprint certificate are at fault.
+
+RESOLVED (round 4): both trajectories bounce -- Adam on pose diverges
+even with exact oracle gradients (weak-yaw observability + per-param
+step scaling). The product recipe is Levenberg-Marquardt with fixed
+supersampling jitter (fvsrn_tpu/train/pose.py; PERF.md round-4); the
+retired test is replaced by test_mega_camera_pose_recovery +
+tests/test_pose.py, and tools/pose_recovery_demo.py records full
+convergence on the real TPU (POSE_R04.json). Kept as the diagnostic
+that produced that conclusion."""
 import os
 import sys
 
