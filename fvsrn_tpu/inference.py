@@ -119,10 +119,44 @@ class LoadedModel:
         return self.prepare_network_render(camera, width, height, mode,
                                            interpret, **plan_kwargs)()
 
+    def _occupancy_grid(self, stepsize: float,
+                        alpha_skip: float = 1e-5):
+        """Cached TF-occupancy macrocell grid for empty-space culling
+        (ops/occupancy.py). Returns None when the TF has no meaningful
+        zero band (measured round 4: ramp-from-zero TFs leave ZERO
+        skippable cells -- the probe below avoids the bounding pass)."""
+        key = (round(stepsize, 9), alpha_skip,
+               hash(np.asarray(self.tf.tensor).tobytes()))
+        cache = getattr(self, "_occ_cache", None)
+        if cache is None:
+            cache = self._occ_cache = {}
+        if key in cache:
+            return cache[key]
+        import jax.numpy as _jnp
+        ds = _jnp.linspace(0.0, 1.0, 1025)
+        op = np.asarray(self.tf.eval_normalized(
+            ds, _jnp.zeros((1025, 3)), _jnp.full((1025,), -1.0),
+            1.0))[:, 3]
+        frac_zero = float((op * stepsize < alpha_skip).mean())
+        occ = None
+        if frac_zero > 0.02:     # a real zero band exists
+            from .ops.occupancy import build_occupancy
+            nvol = VolumeInterpolationNetwork.make(
+                self.network, box_min=self.box_min,
+                box_size=self.box_size)
+            occ = build_occupancy(
+                nvol, self.tf, resolution=32, fine=4,
+                stepsize=stepsize, alpha_skip=alpha_skip,
+                density_min=float(np.asarray(self.config.density_min)),
+                density_max=float(np.asarray(self.config.density_max)))
+        cache[key] = occ
+        return occ
+
     def prepare_network_render(self, camera, width: int, height: int,
                                mode: str = "FUSED",
                                interpret: bool = False,
                                saturation_clip: bool = True,
+                               occupancy_culling: bool = True,
                                table_dtype=None):
         """Build a zero-arg render callable with all host-side planning
         (ray gen, block permutation, saturation probe, bucket
@@ -139,6 +173,12 @@ class LoadedModel:
         (renderer_ray_evaluation_stepping_dvr.cuh:93-99); on trained
         scenes this is the dominant frame-time lever. Applied for
         density-output networks on the bucketed FUSED path.
+        ``occupancy_culling``: TF-aware empty-space skipping
+        (ops/occupancy.py) -- when the TF carries a zero-opacity band
+        (the reference's sparse-scene regime), a cached macrocell
+        bounding pass culls transparent (tile, segment) programs before
+        the MLP runs (measured 1.34x at 512^2 on a zero-band TF, image
+        bitwise equal; a no-op on ramp TFs -- see PERF.md round 4).
         ``table_dtype``: override the latent-table dtype (default
         bf16, the reference's fp16-storage contract)."""
         if mode not in EVAL_MODES:
@@ -227,24 +267,42 @@ class LoadedModel:
                 rd_d = jnp.asarray(rd_np)
                 inv_d = jnp.asarray(inv)
 
-                # the per-camera clip rides in as a TRACED argument
-                # (not a baked constant) so quantize-stabilized plans
-                # from different cameras share one compiled program
+                sa_dev = None
+                if (occupancy_culling and engine == "mega"
+                        and self.network.output_mode.startswith(
+                            "density")
+                        and hasattr(self.tf, "eval_normalized")):
+                    occ = self._occupancy_grid(stepsize)
+                    if occ is not None:
+                        from .ops.occupancy import plan_segment_occupancy
+                        sa_dev = tuple(
+                            jnp.asarray(m) for m in
+                            plan_segment_occupancy(
+                                plan, rs_np, rd_np, occ,
+                                np.asarray(self.box_min),
+                                np.asarray(self.box_size),
+                                stepsize=stepsize, seg=32, tile=256))
+
+                # the per-camera clip (and occupancy masks) ride in as
+                # TRACED arguments (not baked constants) so quantize-
+                # stabilized plans from different cameras share one
+                # compiled program
                 clip_dev = (jnp.asarray(plan.tmax_clip)
                             if plan.tmax_clip is not None else None)
 
                 @jax.jit
-                def render(net, tft, clip_):
+                def render(net, tft, clip_, sa_):
                     p = plan._replace(tmax_clip=clip_)
                     color = fused_trace_dvr_bucketed(
                         rs_d, rd_d, net, self.box_min, self.box_size,
                         tft, plan=p, seg=32, tile=256,
-                        latent_mode="boxfeat", engine=engine, **kw)
+                        latent_mode="boxfeat", engine=engine,
+                        segment_active_groups=sa_, **kw)
                     color = jnp.take(color, inv_d, axis=0)
                     return color.reshape(height, width, 4)
 
                 return lambda: render(self.network, self.tf.tensor,
-                                      clip_dev)
+                                      clip_dev, sa_dev)
             else:
                 tile = 128
                 pad = (-rs.shape[0]) % tile

@@ -851,7 +851,9 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
         grid_sizes=grid_sizes, box_min=box_min, box_size=box_size,
         mspec=mspec, nxb_tot=nxb_tot, yp=yp)
     if segment_active is not None:
-        sa = jnp.asarray(np.asarray(segment_active)).astype(jnp.int32)
+        # may be traced (the product path feeds per-camera masks as jit
+        # arguments so quantize-stabilized plans share one program)
+        sa = jnp.asarray(segment_active).astype(jnp.int32)
         if sa.shape[0] != r_total // tile or sa.shape[1] < n_seg:
             raise ValueError(
                 f"segment_active shape {sa.shape} incompatible with "

@@ -261,3 +261,52 @@ def test_render_network_texture_tf():
                                                 interpret=True))
         np.testing.assert_allclose(img_d, ref, atol=5e-3,
                                    err_msg=f"pre={pre} defaults")
+
+
+def test_render_network_occupancy_culling_zero_band_tf():
+    """Product-path TF-occupancy culling: with a zero-band TF the
+    fused render auto-builds the macrocell grid and culls transparent
+    segments; the image stays within the alpha_skip bound of the
+    unculled render. Ramp TFs skip the bounding pass entirely
+    (the round-4 measured no-op)."""
+    import jax.numpy as jnp
+    from fvsrn_tpu.inference import LoadedModel
+    from fvsrn_tpu.models.latent import LatentSpace
+    from fvsrn_tpu.models.srn import SceneRepresentationNetwork
+    from fvsrn_tpu.raytracer.dvr import RayEvaluationSteppingDvr
+    from fvsrn_tpu.transfer import TransferFunctionPiecewiseLinear
+
+    rng = np.random.default_rng(8)
+    latent = LatentSpace(static_grid=jnp.asarray(
+        (rng.standard_normal((8, 8, 8, 8)) * 0.3).astype(np.float32)))
+    net = SceneRepresentationNetwork.make(
+        layers="16:16", activation="SnakeAlt:2", num_fourier=4,
+        output_mode="density", latent=latent, seed=8)
+    tf = TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.9, 0.1, 0.1], [0.1, 0.9, 0.1], [0.1, 0.1, 0.9],
+             [0.9, 0.9, 0.1]],
+        opacity=[0.0, 0.0, 20.0, 30.0],
+        positions=[0.0, 0.5, 0.75, 1.0])
+    cfg = RayEvaluationSteppingDvr.make(stepsize=1 / 32,
+                                        enable_early_out=False)
+    model = LoadedModel(net, tf, config=cfg)
+    cam = CameraOnASphere.make(pitch=0.3, yaw=0.7, distance=1.6)
+    img_off = np.asarray(model.render_network(
+        cam, 32, 32, "FUSED", interpret=True, saturation_clip=False,
+        occupancy_culling=False, table_dtype=jnp.float32))
+    img_on = np.asarray(model.render_network(
+        cam, 32, 32, "FUSED", interpret=True, saturation_clip=False,
+        occupancy_culling=True, table_dtype=jnp.float32))
+    assert model._occ_cache and list(model._occ_cache.values())[0] \
+        is not None
+    assert np.abs(img_on - img_off).max() < 60 * 1e-5 + 2e-3
+
+    # ramp TF: the cheap probe skips the bounding pass (cache -> None)
+    tf2 = TransferFunctionPiecewiseLinear.make(
+        rgb=[[0.1, 0.1, 0.8], [0.9, 0.4, 0.1], [1.0, 1.0, 0.6]],
+        opacity=[0.0, 10.0, 30.0], positions=[0.0, 0.5, 1.0])
+    model2 = LoadedModel(net, tf2, config=cfg)
+    _ = model2.render_network(cam, 32, 32, "FUSED", interpret=True,
+                              saturation_clip=False,
+                              table_dtype=jnp.float32)
+    assert list(model2._occ_cache.values()) == [None]
