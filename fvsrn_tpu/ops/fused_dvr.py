@@ -40,9 +40,10 @@ input; adjoint normals + Lambert/Phong shading (``need_normals``/
 ``brdf``); static or time/ensemble-keyframed latent grids (pre-lerped
 per frame); isosurface first-crossing (``iso_value``); per-ray
 ``tmax_clip``/``tmin_clip``. The differentiable backward covers
-density AND rgbo outputs x piecewise/texture-LUT/gaussian/
-1D-preintegrated TFs (fused_dvr_bwd); 2D-preintegrated TFs and shaded
-losses differentiate via the plain JAX path in fvsrn_tpu.raytracer.dvr.
+density AND rgbo outputs x piecewise/texture-LUT/gaussian/1D- and
+2D-preintegrated TFs (fused_dvr_bwd); shaded losses (``need_normals``/
+``brdf``/iso) differentiate via the plain JAX path in
+fvsrn_tpu.raytracer.dvr.
 1D latent time/ensemble VECTORS (interp1D conditioning) fold into the
 first-layer bias at the frame's (time, ensemble)
 (:func:`extract_weights`) -- fused, with exact vector gradients.
