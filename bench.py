@@ -97,7 +97,10 @@ def main():
         opacity=[0.0, 10.0, 30.0], positions=[0.0, 0.5, 1.0])
     model = LoadedModel.from_checkpoint(
         os.path.join(root, "assets", "flagship_mlobb.hdf5"), tf=tf)
-    net = model.network
+    # device-resident params: numpy checkpoint leaves would re-upload
+    # ~2 MB per frame through the axon tunnel inside the timing loop
+    net = jax.device_put(model.network)
+    tft = jax.device_put(tf.tensor)
     nvol = VolumeInterpolationNetwork.make(net)
     bm = np.asarray((-0.5, -0.5, -0.5), np.float32)
     bs = np.asarray((1.0, 1.0, 1.0), np.float32)
@@ -199,12 +202,20 @@ def main():
     # one sync at the end -- a real training loop never fetches the loss
     # every step, and the reference's GPUTimer measures device events,
     # not host round-trips through the tunnel.
-    t0 = time.perf_counter()
-    losses = [fb(net, tf.tensor)[0] for _ in range(TIMED_FRAMES)]
-    _ = [float(v) for v in losses]
-    dt = (time.perf_counter() - t0) / TIMED_FRAMES
+    # 3 timed groups of TIMED_FRAMES each (one end-of-group sync);
+    # the mean over groups smooths tunnel/clock interference that a
+    # single group samples at one instant (measured ~10% between-run
+    # spread on otherwise identical code).
+    group_dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        losses = [fb(net, tft)[0] for _ in range(TIMED_FRAMES)]
+        _ = [float(v) for v in losses]
+        group_dts.append((time.perf_counter() - t0) / TIMED_FRAMES)
+    dt = float(np.mean(group_dts))
     mrays = WIDTH * HEIGHT / dt / 1e6
-    print(f"trained scene: {dt:.3f}s/frame over {TIMED_FRAMES}",
+    print(f"trained scene: {dt:.3f}s/frame "
+          f"(groups: {', '.join(f'{g:.3f}' for g in group_dts)})",
           file=sys.stderr)
 
     # ---- secondary arm: trained-scene FORWARD-only (the reference's
@@ -213,9 +224,14 @@ def main():
     # runs the same probe+plan+megakernel planning as this bench
     # (round-4 contract: the bench number IS the product number) ----
     model.config = RayEvaluationSteppingDvr.make(stepsize=STEPSIZE)
-    fwd_ms, _, _ = model.time_rendering([cam, cam], WIDTH, HEIGHT,
-                                        "FUSED", repeats=TIMED_FRAMES)
+    # 4 cameras = 3 timed groups after the warm-up discard (same
+    # camera -> one compiled plan; mean over groups, same smoothing
+    # rationale as the fwd+bwd arm above)
+    fwd_ms, fwd_std, _ = model.time_rendering([cam] * 4, WIDTH, HEIGHT,
+                                              "FUSED",
+                                              repeats=TIMED_FRAMES)
     dt_f = fwd_ms / 1e3
+    print(f"forward groups std: {fwd_std:.1f} ms", file=sys.stderr)
     print(f"trained forward-only (product API): {dt_f:.3f}s/frame",
           file=sys.stderr)
 
@@ -225,9 +241,10 @@ def main():
                               seg=32, tile=128, n_buckets=3,
                               grid_sizes=(32, 32, 32))
     fb_r = make_fb(plan_r, rs, rd)
-    _ = float(fb_r(vol_r.network, tf_r.tensor)[0])
+    net_r = jax.device_put(vol_r.network)
+    _ = float(fb_r(net_r, tf_r.tensor)[0])
     t0 = time.perf_counter()
-    losses = [fb_r(vol_r.network, tf_r.tensor)[0] for _ in range(4)]
+    losses = [fb_r(net_r, tf_r.tensor)[0] for _ in range(4)]
     _ = [float(v) for v in losses]
     dt_r = (time.perf_counter() - t0) / 4
     print(f"random weights: {dt_r:.3f}s/frame over 4", file=sys.stderr)

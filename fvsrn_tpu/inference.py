@@ -109,11 +109,14 @@ class LoadedModel:
                                    height)
 
     def render_network(self, camera, width: int, height: int,
-                       mode: str = "FUSED", interpret: bool = False,
+                       mode: str = "FUSED",
+                       interpret: Optional[bool] = None,
                        **plan_kwargs):
         """(reference: inference.py:529-660 ``render_network``).
-        ``interpret``: run the fused kernel in Pallas interpret mode
-        (off-TPU testing). ``plan_kwargs`` forward to
+        ``interpret``: run the fused kernel in Pallas interpret mode;
+        default (None) auto-enables it off-TPU, where compiled Pallas
+        is unsupported -- so the documented FUSED quick-start works on
+        any backend. ``plan_kwargs`` forward to
         :meth:`prepare_network_render` (``saturation_clip``,
         ``table_dtype``)."""
         return self.prepare_network_render(camera, width, height, mode,
@@ -154,7 +157,7 @@ class LoadedModel:
 
     def prepare_network_render(self, camera, width: int, height: int,
                                mode: str = "FUSED",
-                               interpret: bool = False,
+                               interpret: Optional[bool] = None,
                                saturation_clip: bool = True,
                                occupancy_culling: bool = True,
                                table_dtype=None):
@@ -183,6 +186,11 @@ class LoadedModel:
         bf16, the reference's fp16-storage contract)."""
         if mode not in EVAL_MODES:
             raise ValueError(f"mode must be one of {EVAL_MODES}")
+        if interpret is None:
+            # compiled Pallas kernels exist only on TPU; elsewhere the
+            # FUSED modes fall back to interpret mode so the product
+            # API works on any backend (tests/CI run this way)
+            interpret = jax.devices()[0].platform != "tpu"
         stepsize = float(np.asarray(self.config.stepsize))
         steps = max_steps_bound(self.box_size, stepsize)
         matrix = np.asarray(camera_matrix(camera))
@@ -301,7 +309,13 @@ class LoadedModel:
                     color = jnp.take(color, inv_d, axis=0)
                     return color.reshape(height, width, 4)
 
-                return lambda: render(self.network, self.tf.tensor,
+                # device-resident params: without this, every frame
+                # re-uploads ~2 MB of numpy checkpoint leaves through
+                # the host link (measured as most of the forward-frame
+                # jitter on the axon tunnel)
+                net_dev = jax.device_put(self.network)
+                tft_dev = jax.device_put(self.tf.tensor)
+                return lambda: render(net_dev, tft_dev,
                                       clip_dev, sa_dev)
             else:
                 tile = 128
@@ -335,18 +349,26 @@ class LoadedModel:
                                   steps).color
                 return color.reshape(height, width, 4)
 
-            return lambda: render_plain(vol, self.tf)
-        return lambda: render(self.network, self.tf.tensor)
+            vol_dev = jax.device_put(vol)
+            tf_dev = jax.device_put(self.tf)
+            return lambda: render_plain(vol_dev, tf_dev)
+        net_dev = jax.device_put(self.network)
+        tft_dev = jax.device_put(self.tf.tensor)
+        return lambda: render(net_dev, tft_dev)
 
     def render_network_iso(self, camera, width: int, height: int,
                            iso_config, mode: str = "FUSED",
-                           interpret: bool = False):
+                           interpret: Optional[bool] = None):
         """Isosurface render of the SRN (reference: the iso ray
         evaluator over the tensor-core volume). FUSED = fused
         first-crossing march + per-ray bisection/shading
         (ops.fused_dvr.fused_trace_iso); PLAIN32 = trace_iso over the
-        plain network volume. Returns (H, W, 4) rgba."""
+        plain network volume. ``interpret=None`` auto-enables Pallas
+        interpret mode off-TPU (as in :meth:`prepare_network_render`).
+        Returns (H, W, 4) rgba."""
         from .raytracer.iso import trace_iso
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
         stepsize = float(np.asarray(iso_config.stepsize))
         steps = max_steps_bound(self.box_size, stepsize)
         matrix = np.asarray(camera_matrix(camera))
