@@ -144,7 +144,7 @@ def main():
         return fb
 
     fb = make_fb(plan, rs, rd)
-    loss, img_f, grads_f = fb(net, tf.tensor)
+    loss, img_f, grads_f = fb(net, tft)
     _ = float(loss)  # warm-up sync (block_until_ready lies on axon)
 
     # ---- numeric gate: fused vs plain-lattice oracle on a subset ----
@@ -242,9 +242,10 @@ def main():
                               grid_sizes=(32, 32, 32))
     fb_r = make_fb(plan_r, rs, rd)
     net_r = jax.device_put(vol_r.network)
-    _ = float(fb_r(net_r, tf_r.tensor)[0])
+    tft_r = jax.device_put(tf_r.tensor)
+    _ = float(fb_r(net_r, tft_r)[0])
     t0 = time.perf_counter()
-    losses = [fb_r(net_r, tf_r.tensor)[0] for _ in range(4)]
+    losses = [fb_r(net_r, tft_r)[0] for _ in range(4)]
     _ = [float(v) for v in losses]
     dt_r = (time.perf_counter() - t0) / 4
     print(f"random weights: {dt_r:.3f}s/frame over 4", file=sys.stderr)

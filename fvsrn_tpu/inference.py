@@ -44,6 +44,29 @@ from .utils.timer import GPUTimer
 
 EVAL_MODES = ("FUSED", "FUSED_BF16", "PLAIN32", "PLAIN16")
 
+_warned_interpret = False
+
+
+def _auto_interpret(interpret: Optional[bool]) -> bool:
+    """Resolve ``interpret=None`` to the platform default: compiled
+    Pallas kernels exist only on TPU, so FUSED modes auto-fall back to
+    interpret mode elsewhere (tests/CI run this way). Interpret mode is
+    orders of magnitude slower -- warn once so off-TPU users understand
+    the performance cliff (ADVICE round 4)."""
+    global _warned_interpret
+    if interpret is not None:
+        return interpret
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu and not _warned_interpret:
+        import warnings
+        warnings.warn(
+            "fvsrn_tpu: no TPU detected -- FUSED render paths fall back "
+            "to Pallas interpret mode (orders of magnitude slower; "
+            "pass interpret=False to force compiled kernels)",
+            stacklevel=3)
+        _warned_interpret = True
+    return not on_tpu
+
 
 class LoadedModel:
     """A trained SRN + rendering configuration loaded from a run file
@@ -183,14 +206,15 @@ class LoadedModel:
         the MLP runs (measured 1.34x at 512^2 on a zero-band TF, image
         bitwise equal; a no-op on ramp TFs -- see PERF.md round 4).
         ``table_dtype``: override the latent-table dtype (default
-        bf16, the reference's fp16-storage contract)."""
+        bf16, the reference's fp16-storage contract).
+
+        Snapshot semantics: the returned callable captures
+        ``self.network`` / ``self.tf`` (via ``jax.device_put``) at
+        prepare time -- mutating the model afterwards does NOT affect
+        an already-prepared renderer; call this again to rebuild."""
         if mode not in EVAL_MODES:
             raise ValueError(f"mode must be one of {EVAL_MODES}")
-        if interpret is None:
-            # compiled Pallas kernels exist only on TPU; elsewhere the
-            # FUSED modes fall back to interpret mode so the product
-            # API works on any backend (tests/CI run this way)
-            interpret = jax.devices()[0].platform != "tpu"
+        interpret = _auto_interpret(interpret)
         stepsize = float(np.asarray(self.config.stepsize))
         steps = max_steps_bound(self.box_size, stepsize)
         matrix = np.asarray(camera_matrix(camera))
@@ -367,8 +391,7 @@ class LoadedModel:
         interpret mode off-TPU (as in :meth:`prepare_network_render`).
         Returns (H, W, 4) rgba."""
         from .raytracer.iso import trace_iso
-        if interpret is None:
-            interpret = jax.devices()[0].platform != "tpu"
+        interpret = _auto_interpret(interpret)
         stepsize = float(np.asarray(iso_config.stepsize))
         steps = max_steps_bound(self.box_size, stepsize)
         matrix = np.asarray(camera_matrix(camera))

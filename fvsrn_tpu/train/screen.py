@@ -12,8 +12,11 @@ Rebuild of the reference's screen-space path:
   (reference: train_volnet.py:225-353).
 
 The differentiable trace is the plain-JAX scan with per-step
-rematerialization; swap in the fused Pallas path via ``use_fused=True``
-for supported configurations (density SRN + piecewise TF).
+rematerialization; ``use_fused=True`` routes supported configurations
+through the fused Pallas backward -- density AND rgbo outputs times
+every TF family (piecewise/texture/gaussian/preint-1D/preint-2D, the
+full round-4 differentiable matrix; see ``_tf_mode_kwargs`` and
+``ops/fused_mega.py``). Only shaded/iso losses stay on the plain path.
 """
 from __future__ import annotations
 
