@@ -80,6 +80,9 @@ def init_parser() -> argparse.ArgumentParser:
                    help="TensorBoard log dir (reference: train_volnet.py "
                         "SummaryWriter)")
     g.add_argument("--stepsize", type=float, default=1 / 128)
+    g.add_argument("--no_fused", action="store_true",
+                   help="screen mode: disable the default fused "
+                        "megakernel backward (plain-JAX scan path)")
     g.add_argument("--scan_epoch", action="store_true",
                    help="jit the whole epoch as one scan (fast on CPU "
                         "meshes; slow to compile on the axon tunnel)")
@@ -218,6 +221,26 @@ def run(opt: dict) -> dict:
         ds = build_screen_dataset(
             volume, tf, ray_config, num_cameras=opt["screen_cameras"],
             width=opt["screen_size"], height=opt["screen_size"])
+        # product default: route through the fused megakernel backward
+        # whenever the config is in the differentiable matrix (the
+        # reference trains through its fast path by default,
+        # train_volnet.py -> raytracing.py:526-619); --no_fused escapes
+        from ..raytracer.dvr import max_steps_bound
+        from .screen import fused_screen_supported, screen_mega_kwargs
+        max_steps = max_steps_bound(
+            (1.0, 1.0, 1.0), float(np.asarray(ray_config.stepsize)))
+        use_fused = (not opt.get("no_fused")
+                     and fused_screen_supported(net, tf, ds.width,
+                                                ds.height))
+        fused_kwargs = None
+        if use_fused:
+            from ..inference import _auto_interpret
+            fused_kwargs = screen_mega_kwargs(
+                ds, net,
+                stepsize=float(np.asarray(ray_config.stepsize)),
+                max_steps=max_steps, interpret=_auto_interpret(None))
+            print("screen mode: fused megakernel backward enabled "
+                  "(--no_fused for the plain path)", file=sys.stderr)
         if opt.get("data_parallel"):
             from ..parallel.mesh import make_mesh
             from .screen import train_screen_dp
@@ -225,18 +248,25 @@ def run(opt: dict) -> dict:
                 net, ds, tf, ray_config, loss, optimizer,
                 epochs=opt["epochs"],
                 mesh=make_mesh(opt["data_parallel"]),
+                max_steps=max_steps, use_fused=use_fused,
+                fused_kwargs=fused_kwargs,
                 callback=lambda e, nw, lv: epoch_cb(e, nw, lv))
         else:
             net, hist = train_screen(
                 net, ds, tf, ray_config, loss, optimizer,
                 epochs=opt["epochs"],
+                max_steps=max_steps, use_fused=use_fused,
+                fused_kwargs=fused_kwargs,
                 callback=lambda e, nw, lv: epoch_cb(e, nw, lv))
 
     ck.save_weights(net, max(len(history) - 1, 0))
     ck.close()
     if writer is not None:
         writer.close()
-    return {"history": history, "network": net}
+    out = {"history": history, "network": net}
+    if opt["mode"] == "screen":
+        out["fused"] = use_fused
+    return out
 
 
 def main(argv=None):

@@ -139,6 +139,41 @@ def screen_mega_kwargs(dataset: "ScreenDataset", network, *,
                 tile=tile, interpret=interpret)
 
 
+def fused_screen_supported(network, tf, width: int, height: int,
+                           table_dtype=jnp.float32) -> bool:
+    """Product-trainer eligibility for the megakernel screen backward.
+
+    ``train/main.py`` auto-routes ``use_fused=True`` whenever this holds
+    (the reference likewise trains through its fast path by default,
+    train_volnet.py -> raytracing.py:526-619). Supported = the round-4
+    differentiable matrix: density/rgbo outputs x piecewise/texture/
+    gaussian/preintegrated TFs, latent conditioning that is either
+    1D vectors (folded into the first-layer bias) or ONE static grid
+    (<= 16 channels, VMEM slab fits -- ``mega_supported``), and images
+    that tile into 16x16 pixel blocks with at least one 256-ray tile.
+    Keyframed time/ensemble GRIDS fall back to the plain path (their
+    per-frame resolve is not certified by ``screen_mega_kwargs``)."""
+    from ..ops.fused_mega import mega_supported
+    from ..transfer import (TransferFunctionGaussian,
+                            TransferFunctionPiecewiseLinear,
+                            TransferFunctionTexture)
+    if not isinstance(tf, (TransferFunctionPiecewiseLinear,
+                           TransferFunctionTexture,
+                           TransferFunctionGaussian)):
+        return False
+    if width % 16 or height % 16 or width * height < 256:
+        return False
+    lat = network.latent
+    if lat is not None:
+        if lat.time_grid is not None or lat.ensemble_grid is not None:
+            return False
+        g = lat.static_grid
+        if g is not None and not mega_supported(tuple(g.shape),
+                                                table_dtype):
+            return False
+    return True
+
+
 def _tf_mode_kwargs(tf) -> dict:
     """Static fused-kernel TF options derived from the TF object, so
     screen training routes EVERY TF family through the fused backward

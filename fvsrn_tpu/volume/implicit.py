@@ -124,6 +124,28 @@ def tube(x, y, z):
     return ((1 - (r * _cb(0.9 - 0.5 * jnp.cos(7 * x)))) - 0.9) * 10
 
 
+def multi_shell(x, y, z):
+    """Sparse-scene synthetic: three thin concentric shells with angular
+    holes and a radial ripple. NOT in the reference's equation set -- built
+    for the sparse-TF scene class its headline figures live on (Ejecta-like
+    occupancy: ~16% of the volume above density 0.3, ~11% above 0.45), so
+    zero-opacity-band TFs leave most (tile, segment) programs cullable
+    (reference regime: renderer_ray_evaluation_stepping_dvr.cuh:84-154
+    early-outs on config-files/*.json TFs with zero bands)."""
+    ripple = 0.03 * jnp.sin(4.0 * x) * jnp.sin(5.0 * y) * jnp.sin(6.0 * z)
+    r = jnp.sqrt(x * x + y * y + z * z) + 1e-6 + ripple
+    az = jnp.arctan2(y, x)
+    el = z / r
+    d = 0.0
+    shells = ((0.35, 0.045, 3.0, 2.0, 0.0),
+              (0.65, 0.038, 5.0, 3.0, 1.3),
+              (0.95, 0.032, 7.0, 4.0, 2.1))
+    for rk, wk, fk, gk, ck in shells:
+        m = 0.5 + 0.5 * jnp.cos(fk * az + ck) * jnp.cos(gk * jnp.pi * el)
+        d = d + 1.25 * jnp.exp(-_sqr(r - rk) / (2 * wk * wk)) * m
+    return jnp.clip(d, 0.0, 1.0)
+
+
 # equation name -> (fn, box_min, box_max); boxes from volume_implicit.cpp
 IMPLICIT_EQUATIONS: dict[str, tuple[Callable, float, float]] = {
     "MARSCHNER_LOBB": (marschner_lobb, -1.0, 1.0),
@@ -141,6 +163,7 @@ IMPLICIT_EQUATIONS: dict[str, tuple[Callable, float, float]] = {
     "KUMMER": (kummer, -2.0, 2.0),
     "BLOBBY": (blobby, -2.0, 2.0),
     "TUBE": (tube, -1.0, 1.0),
+    "MULTI_SHELL": (multi_shell, -1.0, 1.0),
 }
 
 
