@@ -16,6 +16,11 @@ def available() -> bool:
     return lib is not None and hasattr(lib, "fv_ac_encode_planes")
 
 
+def available3d() -> bool:
+    lib = lz4io._load()
+    return lib is not None and hasattr(lib, "fv_ac_encode_planes3d")
+
+
 def _lib():
     lib = lz4io._load()
     if lib is None or not hasattr(lib, "fv_ac_encode_planes"):
@@ -31,6 +36,16 @@ def _lib():
     lib.fv_ac_decode_planes.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "fv_ac_encode_planes3d"):
+        lib.fv_ac_encode_planes3d.restype = ctypes.c_int
+        lib.fv_ac_encode_planes3d.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        lib.fv_ac_decode_planes3d.restype = ctypes.c_int
+        lib.fv_ac_decode_planes3d.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
     return lib
 
 
@@ -68,6 +83,49 @@ def decode_planes(payload: bytes, n: int, nbits: int):
     rc = lib.fv_ac_decode_planes(payload, len(payload),
                                  mag.ctypes.data, sign.ctypes.data,
                                  n, int(nbits))
+    if rc != 0:
+        raise RuntimeError("arithmetic decode failed")
+    return mag, sign
+
+
+def encode_planes3d(mag: np.ndarray, sign: np.ndarray,
+                    nbits: int) -> bytes:
+    """3D-context bitplane coding of a (n0, n1, n2) magnitude volume:
+    significance contexts keyed on the six face neighbors' state
+    (EBCOT-style; native fv_ac_encode_planes3d). ~10-20% smaller than
+    :func:`encode_planes` on wavelet subbands / HOSVD cores."""
+    lib = _lib()
+    mag = np.ascontiguousarray(mag, np.uint64)
+    if mag.ndim != 3:
+        raise ValueError("encode_planes3d needs a 3D array")
+    sign = np.ascontiguousarray(sign, np.uint8).reshape(mag.shape)
+    n = mag.size
+    cap = max(1024, n * max(1, nbits) // 4 + n + 4096)
+    out = np.empty(cap, np.uint8)
+    m = lib.fv_ac_encode_planes3d(
+        mag.ctypes.data, sign.ctypes.data, mag.shape[0], mag.shape[1],
+        mag.shape[2], int(nbits), out.ctypes.data, cap)
+    if m < 0:
+        cap = n * max(1, nbits) + 4096
+        out = np.empty(cap, np.uint8)
+        m = lib.fv_ac_encode_planes3d(
+            mag.ctypes.data, sign.ctypes.data, mag.shape[0],
+            mag.shape[1], mag.shape[2], int(nbits), out.ctypes.data, cap)
+        if m < 0:
+            raise RuntimeError("arithmetic coder output overflow")
+    return out[:m].tobytes()
+
+
+def decode_planes3d(payload: bytes, shape, nbits: int):
+    """Inverse of :func:`encode_planes3d` -> (mag uint64 shape, sign
+    uint8 shape)."""
+    lib = _lib()
+    n0, n1, n2 = (int(s) for s in shape)
+    mag = np.zeros((n0, n1, n2), np.uint64)
+    sign = np.zeros((n0, n1, n2), np.uint8)
+    rc = lib.fv_ac_decode_planes3d(payload, len(payload),
+                                   mag.ctypes.data, sign.ctypes.data,
+                                   n0, n1, n2, int(nbits))
     if rc != 0:
         raise RuntimeError("arithmetic decode failed")
     return mag, sign

@@ -19,7 +19,12 @@
 namespace {
 
 constexpr uint32_t kTop = 1u << 24;
-constexpr int kProbBits = 12;
+// 15-bit probabilities: the adaptive floor is p = 1 - 31/32768, i.e.
+// ~0.0014 bits per settled symbol -- at 12 bits the floor (1 - 31/4096,
+// ~0.011 bits/symbol) dominated the payload of near-empty bitplanes
+// (measured round 5: a 64^3 core's zero planes cost 3.3 KB of coder
+// noise that LZ4 then re-compressed 2x; 15-bit probs emit ~0.4 KB).
+constexpr int kProbBits = 15;
 constexpr uint16_t kProbOne = 1u << kProbBits;
 constexpr int kAdaptShift = 5;
 
@@ -172,6 +177,127 @@ int fv_ac_decode_planes(const uint8_t* in_buf, int in_len, uint64_t* mag,
       }
       if (bit) mag[i] |= (uint64_t)1 << p;
     }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// 3D-aware bitplane codec: significance contexts keyed on how many of
+// the six face neighbors are already significant (the EBCOT/JPEG2000
+// context idea adapted to 3D volumes -- cudaCompress's coder likewise
+// conditions on local state). Used per Mallat subband (and for the
+// TThresh core, whose low-index energy concentration gives the same
+// neighbor correlation). Causal state: a neighbor counts if it became
+// significant in an earlier plane OR earlier in the current scan --
+// the decoder reproduces the identical state.
+namespace {
+
+struct Model3D {
+  // [min(#significant neighbors, 3)][min(plane index from MSB, 7)]
+  uint16_t sig[4][8];
+  uint16_t ref[2];  // [0]: first refinement after significance, [1]: later
+  uint16_t sign;
+  Model3D() {
+    for (auto& row : sig)
+      for (auto& p : row) p = kProbOne / 2;
+    ref[0] = ref[1] = kProbOne / 2;
+    sign = kProbOne / 2;
+  }
+};
+
+inline int neigh_sig(const uint8_t* significant, int i0, int i1, int i2,
+                     int n0, int n1, int n2, int s0, int s1) {
+  int c = 0;
+  if (i0 > 0) c += significant[(i0 - 1) * s0 + i1 * s1 + i2];
+  if (i0 + 1 < n0) c += significant[(i0 + 1) * s0 + i1 * s1 + i2];
+  if (i1 > 0) c += significant[i0 * s0 + (i1 - 1) * s1 + i2];
+  if (i1 + 1 < n1) c += significant[i0 * s0 + (i1 + 1) * s1 + i2];
+  if (i2 > 0) c += significant[i0 * s0 + i1 * s1 + i2 - 1];
+  if (i2 + 1 < n2) c += significant[i0 * s0 + i1 * s1 + i2 + 1];
+  return c < 3 ? c : 3;
+}
+
+}  // namespace
+
+extern "C" {
+
+int fv_ac_encode_planes3d(const uint64_t* mag, const uint8_t* sign,
+                          int n0, int n1, int n2, int nbits,
+                          uint8_t* out_buf, int out_cap) {
+  const int n = n0 * n1 * n2;
+  const int s0 = n1 * n2, s1 = n2;
+  std::vector<uint8_t> out;
+  out.reserve((size_t)n / 4 + 64);
+  Encoder enc;
+  enc.out = &out;
+  Model3D m;
+  std::vector<uint8_t> significant((size_t)n, 0);
+  std::vector<uint8_t> sig_age((size_t)n, 0);
+  for (int p = nbits - 1; p >= 0; --p) {
+    const int pt = nbits - 1 - p;
+    const int ptc = pt < 8 ? pt : 7;
+    int i = 0;
+    for (int i0 = 0; i0 < n0; ++i0)
+      for (int i1 = 0; i1 < n1; ++i1)
+        for (int i2 = 0; i2 < n2; ++i2, ++i) {
+          int bit = (int)((mag[i] >> p) & 1u);
+          if (!significant[i]) {
+            int ctx = neigh_sig(significant.data(), i0, i1, i2, n0, n1,
+                                n2, s0, s1);
+            enc.encode(bit, m.sig[ctx][ptc]);
+            if (bit) {
+              significant[i] = 1;
+              sig_age[i] = (uint8_t)(pt < 255 ? pt : 255);
+              enc.encode(sign[i] ? 1 : 0, m.sign);
+            }
+          } else {
+            enc.encode(bit, m.ref[(pt - sig_age[i]) == 1 ? 0 : 1]);
+          }
+        }
+  }
+  enc.finish();
+  if ((int)out.size() > out_cap) return -1;
+  std::memcpy(out_buf, out.data(), out.size());
+  return (int)out.size();
+}
+
+int fv_ac_decode_planes3d(const uint8_t* in_buf, int in_len,
+                          uint64_t* mag, uint8_t* sign, int n0, int n1,
+                          int n2, int nbits) {
+  const int n = n0 * n1 * n2;
+  const int s0 = n1 * n2, s1 = n2;
+  Decoder dec;
+  dec.in = in_buf;
+  dec.end = in_buf + in_len;
+  dec.init();
+  Model3D m;
+  std::vector<uint8_t> significant((size_t)n, 0);
+  std::vector<uint8_t> sig_age((size_t)n, 0);
+  std::memset(mag, 0, sizeof(uint64_t) * (size_t)n);
+  std::memset(sign, 0, (size_t)n);
+  for (int p = nbits - 1; p >= 0; --p) {
+    const int pt = nbits - 1 - p;
+    const int ptc = pt < 8 ? pt : 7;
+    int i = 0;
+    for (int i0 = 0; i0 < n0; ++i0)
+      for (int i1 = 0; i1 < n1; ++i1)
+        for (int i2 = 0; i2 < n2; ++i2, ++i) {
+          int bit;
+          if (!significant[i]) {
+            int ctx = neigh_sig(significant.data(), i0, i1, i2, n0, n1,
+                                n2, s0, s1);
+            bit = dec.decode(m.sig[ctx][ptc]);
+            if (bit) {
+              significant[i] = 1;
+              sig_age[i] = (uint8_t)(pt < 255 ? pt : 255);
+              sign[i] = (uint8_t)dec.decode(m.sign);
+            }
+          } else {
+            bit = dec.decode(m.ref[(pt - sig_age[i]) == 1 ? 0 : 1]);
+          }
+          if (bit) mag[i] |= (uint64_t)1 << p;
+        }
   }
   return 0;
 }
