@@ -143,6 +143,73 @@ def render_image(ev: ImageEvaluatorSimple, width: int, height: int, *,
     return jnp.moveaxis(out, -1, 1)  # (B, 8, H, W)
 
 
+class ProgressiveRenderer:
+    """Accumulate-over-frames refinement of stochastic renders
+    (reference: the image evaluator's ``refine`` flag + refine-blend,
+    iimage_evaluator.h:43-71, image_evaluator_simple.cpp:288-358: the
+    GUI re-renders between interactions and folds each pass into the
+    displayed image).
+
+    Each :meth:`refine` call renders one more pass with a fresh PRNG
+    key (``fold_in(key, frame)``) and folds it into running sums;
+    :attr:`image` is the running MEAN -- for Monte-Carlo renders the
+    pixel variance falls as 1/frames (tests/test_mc.py). Channel
+    semantics match the supersampling combiner
+    (renderer_image_evaluator_simple.cuh:100-109): color averaged by
+    frame count, normals/depth weighted by per-pass alpha.
+
+    One jitted step is compiled per renderer; the frame index and sums
+    are traced arguments, so every refinement reuses it.
+    """
+
+    def __init__(self, evaluator: ImageEvaluatorSimple, width: int,
+                 height: int, *, key=None,
+                 max_steps: Optional[int] = None):
+        self.evaluator = evaluator
+        self.width = width
+        self.height = height
+        self.key = key if key is not None else jax.random.PRNGKey(42)
+        if max_steps is None and evaluator.ray_mode != "mc":
+            max_steps = max_steps_bound(evaluator.volume.box_size,
+                                        evaluator.ray_config.stepsize)
+
+        @jax.jit
+        def step(ev, sums, frame, key):
+            img = render_image(ev, width, height,
+                               max_steps=max_steps,
+                               key=jax.random.fold_in(key, frame))
+            w = img[:, 3:4]
+            pass_sums = jnp.concatenate(
+                [img[:, :4], img[:, 4:7] * w, img[:, 7:8] * w], axis=1)
+            return sums + pass_sums
+
+        self._step = step
+        self.reset()
+
+    def reset(self):
+        self._sums = jnp.zeros((max(_batch_of(self.evaluator.camera), 1),
+                                8, self.height, self.width), jnp.float32)
+        self.frames = 0
+
+    def refine(self, frames: int = 1):
+        """Render ``frames`` more passes into the accumulator; returns
+        the current running-mean image (B, 8, H, W)."""
+        for _ in range(frames):
+            self._sums = self._step(self.evaluator, self._sums,
+                                    self.frames, self.key)
+            self.frames += 1
+        return self.image
+
+    @property
+    def image(self) -> Array:
+        """Running mean (B, 8, H, W) over the accumulated passes."""
+        n = max(self.frames, 1)
+        s = self._sums
+        alpha = jnp.maximum(s[:, 3:4], 1e-20)
+        return jnp.concatenate(
+            [s[:, :4] / n, s[:, 4:7] / alpha, s[:, 7:8] / alpha], axis=1)
+
+
 def extract_color(image: Array, tonemapping: bool = False,
                   max_exposure: float = 1.0) -> Array:
     """(B, 8, H, W) -> (B, 4, H, W) rgba, optional simple exposure tonemap

@@ -58,7 +58,11 @@ input[type=range] { width:200px; }
 <script>
 const img = document.getElementById('img');
 let busy = false, dirty = false;
-function refresh() {
+let progressive = false, maxFrames = 32;
+fetch('/meta').then(r => r.json()).then(m => {
+  progressive = m.progressive; maxFrames = m.max_frames;
+}).catch(() => {});
+async function refresh() {
   if (busy) { dirty = true; return; }
   busy = true;
   const q = new URLSearchParams({
@@ -67,14 +71,17 @@ function refresh() {
   pv.textContent = pitch.value; yv.textContent = yaw.value;
   dv.textContent = dist.value; ov.textContent = opac.value;
   const t0 = performance.now();
-  const im = new Image();
-  im.onload = () => {
-    img.src = im.src;
-    stat.textContent = (performance.now() - t0).toFixed(0) + ' ms';
+  try {
+    const r = await fetch('/render?' + q);
+    const frames = +(r.headers.get('X-Frames') || 1);
+    img.src = URL.createObjectURL(await r.blob());
+    stat.textContent = (performance.now() - t0).toFixed(0) + ' ms'
+      + (progressive ? ' · ' + frames + ' passes' : '');
     busy = false;
     if (dirty) { dirty = false; refresh(); }
-  };
-  im.src = '/render?' + q;
+    else if (progressive && frames < maxFrames)
+      setTimeout(refresh, 30);  // keep refining while idle (MC mode)
+  } catch (e) { busy = false; }
 }
 for (const el of [pitch, yaw, dist, opac, res])
   el.addEventListener('input', refresh);
@@ -101,13 +108,22 @@ refresh();
 
 class ViewerState:
     """Render backend shared by requests: one jitted render per
-    (size, opacity-scaled TF) structure."""
+    (size, opacity-scaled TF) structure. Monte-Carlo evaluators render
+    PROGRESSIVELY (reference: the GUI's refine loop between
+    interactions, iimage_evaluator.h:43-71): repeated requests at the
+    same camera/TF fold more passes into a running mean
+    (:class:`~fvsrn_tpu.raytracer.evaluator.ProgressiveRenderer`); any
+    parameter change resets the accumulator."""
+
+    MAX_REFINE_FRAMES = 32
 
     def __init__(self, evaluator, max_steps_fn=None):
         import jax
         from .raytracer.dvr import max_steps_bound
         self.evaluator = evaluator
         self._lock = threading.Lock()
+        self._prog = {}        # size -> ProgressiveRenderer
+        self._prog_params = None
 
         @functools.lru_cache(maxsize=8)
         def make_render(size):
@@ -123,7 +139,12 @@ class ViewerState:
 
         self._make_render = make_render
 
-    def render_png(self, pitch, yaw, distance, opacity, size) -> bytes:
+    @property
+    def progressive(self) -> bool:
+        return getattr(self.evaluator, "ray_mode", "dvr") == "mc"
+
+    def render_png(self, pitch, yaw, distance, opacity, size):
+        """Returns (png_bytes, accumulated_frames)."""
         from .camera import CameraOnASphere
         cam = CameraOnASphere.make(pitch=pitch, yaw=yaw, distance=distance)
         ev = self.evaluator.replace(camera=cam)
@@ -132,17 +153,37 @@ class ViewerState:
             t = t.copy()
             t[:, 3] = t[:, 3] * opacity
             ev = ev.replace(tf=type(ev.tf)(tensor=t.astype(np.float32)))
+        frames = 1
         with self._lock:  # one TPU client: serialize renders
-            img = np.asarray(self._make_render(size)(ev))
+            if self.progressive:
+                from .raytracer.evaluator import ProgressiveRenderer
+                params = (pitch, yaw, distance, opacity, size)
+                pr = self._prog.get(size)
+                if pr is None:
+                    pr = ProgressiveRenderer(ev, size, size)
+                    self._prog[size] = pr
+                    self._prog_params = None
+                if params != self._prog_params:
+                    # camera/TF moved: swap the evaluator (a traced
+                    # argument of the compiled step) and restart
+                    pr.evaluator = ev
+                    pr.reset()
+                    self._prog_params = params
+                if pr.frames < self.MAX_REFINE_FRAMES:
+                    pr.refine(1)
+                img = np.asarray(pr.image)
+                frames = pr.frames
+            else:
+                img = np.asarray(self._make_render(size)(ev))
         rgb = np.clip(np.moveaxis(img[0, :3], 0, -1), 0, 1)
         arr = (rgb * 255).astype(np.uint8)
         try:
             from PIL import Image
             buf = io.BytesIO()
             Image.fromarray(arr).save(buf, format="PNG")
-            return buf.getvalue()
+            return buf.getvalue(), frames
         except ImportError:
-            return _encode_png(arr)
+            return _encode_png(arr), frames
 
 
 def _encode_png(arr: np.ndarray) -> bytes:
@@ -185,7 +226,7 @@ def make_handler(state: ViewerState):
                     return float(q.get(k, [d])[0])
 
                 try:
-                    png = state.render_png(
+                    png, frames = state.render_png(
                         pitch=f("pitch", 0.35), yaw=f("yaw", 0.6),
                         distance=f("distance", 1.8),
                         opacity=f("opacity", 1.0),
@@ -201,8 +242,20 @@ def make_handler(state: ViewerState):
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.send_header("Content-Length", str(len(png)))
+                self.send_header("X-Frames", str(frames))
                 self.end_headers()
                 self.wfile.write(png)
+                return
+            if u.path == "/meta":
+                body = json.dumps({
+                    "progressive": state.progressive,
+                    "max_frames": state.MAX_REFINE_FRAMES,
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
             self.send_response(404)
             self.end_headers()

@@ -224,3 +224,59 @@ def test_trace_mc_compact_matches_plain():
                                   np.asarray(got.depth))
     np.testing.assert_array_equal(np.asarray(base.normal),
                                   np.asarray(got.normal))
+
+
+def test_progressive_mc_refinement_variance():
+    """Round-5 progressive refinement surface (reference: the image
+    evaluator's refine flag + refine-blend, iimage_evaluator.h:43-71):
+    the running mean is exactly the mean of the independent passes, and
+    MC pixel variance falls ~1/frames (halves per doubling)."""
+    from fvsrn_tpu.raytracer.evaluator import (ImageEvaluatorSimple,
+                                               ProgressiveRenderer,
+                                               render_image)
+    vol, tf, cfg = _mc_scene()
+    phase = PhaseFunctionHenyeyGreenstein.make(g=0.0)
+    cam = CameraOnASphere.make(distance=1.5)
+    ev = ImageEvaluatorSimple(camera=cam, volume=vol, tf=tf,
+                              ray_config=cfg, phase=phase, ray_mode="mc")
+    pr = ProgressiveRenderer(ev, 8, 8, key=jax.random.PRNGKey(7))
+    img2 = np.asarray(pr.refine(2))
+    assert pr.frames == 2
+    # exactness: the accumulator's color mean == mean over the same
+    # per-frame keys rendered independently
+    singles = [np.asarray(render_image(
+        ev, 8, 8, key=jax.random.fold_in(jax.random.PRNGKey(7), i)))
+        for i in range(2)]
+    np.testing.assert_allclose(img2[:, :4],
+                               np.mean(singles, axis=0)[:, :4],
+                               rtol=1e-5, atol=1e-6)
+    # variance scaling: MSE vs a deep accumulation reference drops ~2x
+    # per doubling of frames (averaged over pixels; generous bounds
+    # for the stochastic estimate)
+    ref = ProgressiveRenderer(ev, 8, 8, key=jax.random.PRNGKey(123))
+    ref_img = np.asarray(ref.refine(64))[:, :3]
+    mse = {}
+    pr2 = ProgressiveRenderer(ev, 8, 8, key=jax.random.PRNGKey(9))
+    for n in (2, 8):
+        while pr2.frames < n:
+            pr2.refine(1)
+        mse[n] = float(np.mean((np.asarray(pr2.image)[:, :3]
+                                - ref_img) ** 2))
+    ratio = mse[2] / max(mse[8], 1e-12)
+    assert 2.0 < ratio < 8.5, (mse, ratio)
+
+
+def test_progressive_reset():
+    from fvsrn_tpu.raytracer.evaluator import (ImageEvaluatorSimple,
+                                               ProgressiveRenderer)
+    vol, tf, cfg = _mc_scene()
+    phase = PhaseFunctionRayleigh.make()
+    cam = CameraOnASphere.make(distance=1.5)
+    ev = ImageEvaluatorSimple(camera=cam, volume=vol, tf=tf,
+                              ray_config=cfg, phase=phase, ray_mode="mc")
+    pr = ProgressiveRenderer(ev, 8, 8)
+    a = np.asarray(pr.refine(1))
+    pr.reset()
+    assert pr.frames == 0
+    b = np.asarray(pr.refine(1))
+    np.testing.assert_allclose(a, b)  # same key, same first frame

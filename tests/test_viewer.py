@@ -48,3 +48,42 @@ def test_viewer_png_fallback_encoder():
     png = _encode_png(arr)
     back = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
     np.testing.assert_array_equal(back, arr)
+
+
+def test_viewer_progressive_mc():
+    """MC evaluators refine progressively across same-camera requests
+    (reference: the GUI's refine loop, iimage_evaluator.h:43-71): the
+    /meta endpoint flags progressive mode, X-Frames counts accumulated
+    passes, and a camera change resets the accumulator."""
+    import json
+
+    from fvsrn_tpu.phase import PhaseFunctionHenyeyGreenstein
+    from fvsrn_tpu.raytracer.montecarlo import RayEvaluationMonteCarlo
+    from fvsrn_tpu.viewer import serve
+    vol = fv.VolumeInterpolationImplicit.make("SPHERE")
+    tf = fv.TransferFunctionIdentity.make(absorption=8.0, emission=1.0)
+    cfg = RayEvaluationMonteCarlo.make(max_absorption=8.0,
+                                       density_min=0.3, num_bounces=1,
+                                       max_iterations=32)
+    cam = fv.CameraOnASphere.make(pitch=0.3, yaw=0.5, distance=1.6)
+    ev = fv.ImageEvaluatorSimple(
+        camera=cam, volume=vol, tf=tf, ray_config=cfg,
+        phase=PhaseFunctionHenyeyGreenstein.make(g=0.0), ray_mode="mc")
+    server = serve(ev, port=0, block=False)
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        meta = json.loads(urllib.request.urlopen(
+            f"{base}/meta", timeout=30).read())
+        assert meta["progressive"] is True
+        url = f"{base}/render?size=16&pitch=0.3&yaw=0.5&distance=1.6"
+        r1 = urllib.request.urlopen(url, timeout=300)
+        assert r1.headers["X-Frames"] == "1"
+        r2 = urllib.request.urlopen(url, timeout=300)
+        assert r2.headers["X-Frames"] == "2"
+        # camera change resets the accumulation
+        r3 = urllib.request.urlopen(
+            f"{base}/render?size=16&pitch=0.3&yaw=2.0&distance=1.6",
+            timeout=300)
+        assert r3.headers["X-Frames"] == "1"
+    finally:
+        server.shutdown()
