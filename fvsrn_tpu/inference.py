@@ -170,8 +170,12 @@ class LoadedModel:
             nvol = VolumeInterpolationNetwork.make(
                 self.network, box_min=self.box_min,
                 box_size=self.box_size)
+            # resolution 128: thin-feature scenes (the sparse class)
+            # fragment badly at 32^3 macrocells -- measured round 5 on
+            # the MULTI_SHELL flagship: 71% occupied at 32^3 vs 32% at
+            # 128^3, i.e. 63% of (tile, segment) programs culled
             occ = build_occupancy(
-                nvol, self.tf, resolution=32, fine=4,
+                nvol, self.tf, resolution=128, fine=2,
                 stepsize=stepsize, alpha_skip=alpha_skip,
                 density_min=float(np.asarray(self.config.density_min)),
                 density_max=float(np.asarray(self.config.density_max)))

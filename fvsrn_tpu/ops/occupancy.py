@@ -143,6 +143,7 @@ def make_segment_occupancy(ray_start, ray_dir, occupancy: np.ndarray,
                            seg: int, tile: int, n_seg: int,
                            max_steps: int,
                            tmax_clip: Optional[np.ndarray] = None,
+                           tmin_clip: Optional[np.ndarray] = None,
                            samples_per_step: float = 1.0) -> np.ndarray:
     """Camera-static (n_tiles, n_seg) bool activity mask: True iff ANY
     subsampled lattice point of ANY ray of the tile inside the segment
@@ -165,6 +166,13 @@ def make_segment_occupancy(ray_start, ray_dir, occupancy: np.ndarray,
     tmax = np.maximum(t0, t1).min(axis=1)
     if tmax_clip is not None:
         tmax = np.minimum(tmax, np.asarray(tmax_clip, np.float32))
+    if tmin_clip is not None:
+        # mirror the kernel prologue: a tmin-clipped plan advances
+        # k0_ray (and so the tile bases) past the clip -- the masks
+        # must index the same shifted segments (round-5 fix: without
+        # this, occupancy masks combined with tmin_clip culled LIVE
+        # segments)
+        tmin = np.maximum(tmin, np.asarray(tmin_clip, np.float32))
     k0_ray = np.ceil(tmin / h)
     k0t = np.where(tmax > tmin, k0_ray, np.inf) \
         .reshape(n_tiles, tile).min(axis=1)
@@ -222,10 +230,12 @@ def plan_segment_occupancy(plan, ray_start, ray_dir,
             else -(-g_steps // seg)
         clip_g = (plan.tmax_clip[ofs:ofs + size]
                   if plan.tmax_clip is not None else None)
+        tminc_g = (plan.tmin_clip[ofs:ofs + size]
+                   if plan.tmin_clip is not None else None)
         out.append(make_segment_occupancy(
             rs[ofs:ofs + size], rd[ofs:ofs + size], occupancy,
             box_min, box_size, stepsize=stepsize, seg=seg, tile=tile,
             n_seg=n_seg, max_steps=g_steps, tmax_clip=clip_g,
-            samples_per_step=samples_per_step))
+            tmin_clip=tminc_g, samples_per_step=samples_per_step))
         ofs += size
     return tuple(out)
