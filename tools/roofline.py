@@ -40,33 +40,51 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # ---- VPU elementwise rate calibration ----
-    n = 8 * 1024 * 128          # 1M lanes, fits VMEM
-    reps = 512                  # dependent FMA chain length
+    # UNROLLED dependent multiply-add chain (XLA fuses it into one
+    # kernel, lanes stay in registers/VMEM), measured DIFFERENTIALLY:
+    # rate = extra ops / (time(long chain) - time(short chain)). The
+    # subtraction cancels the per-dispatch host latency through the
+    # axon tunnel (~26 ms, which otherwise swamps a single-dispatch
+    # microbench) and any constant launch/IO cost.
+    n = 8 * 1024 * 128          # 1M lanes
+    reps_lo, reps_hi = 256, 4096
 
-    def chain(x):
-        def body(c, _):
-            return c * jnp.float32(1.0000001).astype(c.dtype) \
-                + jnp.float32(1e-7).astype(c.dtype), None
-        c, _ = lax.scan(body, x, None, length=reps)
-        return c
+    def make_chain(reps):
+        # 4 independent interleaved chains: a single dependent chain is
+        # VPU-LATENCY-bound (~0.75 Tops measured); the kernel's real op
+        # stream has ILP, so calibrate with ILP 4. Constants are exact
+        # in bf16 (1 + 1/128, 2^-10) so the bf16 chain does not fold.
+        def chain(xs):
+            a = jnp.float32(1.0078125).astype(xs[0].dtype)
+            b = jnp.float32(-0.0009765625).astype(xs[0].dtype)
+            for _ in range(reps):
+                xs = tuple(x * a + b for x in xs)
+            return sum(jnp.sum(x.astype(jnp.float32)) for x in xs)
+        return jax.jit(chain)
 
+    rates = {}
     for dtype in (jnp.float32, jnp.bfloat16):
-        x = jnp.ones((8 * 128, 1024), dtype)
-        f = jax.jit(chain)
-        _ = float(jnp.sum(f(x).astype(jnp.float32)))
-        t0 = time.perf_counter()
-        for _i in range(4):
-            _ = float(jnp.sum(f(x).astype(jnp.float32)))
-        dt = (time.perf_counter() - t0) / 4
-        # 2 ops per chain step (mul + add)
-        rate = n * reps * 2 / dt
+        xs = tuple(jnp.full((8 * 128, 256), 0.5 + 0.1 * i, dtype)
+                   for i in range(4))
+        dts = {}
+        for reps in (reps_lo, reps_hi):
+            f = make_chain(reps)
+            _ = float(f(xs))
+            best = np.inf
+            for _i in range(6):
+                t0 = time.perf_counter()
+                _ = float(f(xs))
+                best = min(best, time.perf_counter() - t0)
+            dts[reps] = best
+        rate = n * (reps_hi - reps_lo) * 2 / (dts[reps_hi]
+                                              - dts[reps_lo])
         print(f"VPU {jnp.dtype(dtype).name}: {rate/1e12:.2f} Tops "
-              f"({dt*1e3:.1f} ms for {reps} chained FMAs on 1M lanes)",
+              f"(dt {dts[reps_lo]*1e3:.2f} -> {dts[reps_hi]*1e3:.2f} ms "
+              f"for {reps_lo} -> {reps_hi} chained FMAs on 1M lanes)",
               flush=True)
-        if dtype == jnp.float32:
-            f32_rate = rate
-        else:
-            bf16_rate = rate
+        rates[jnp.dtype(dtype).name] = rate
+    f32_rate = rates["float32"]
+    bf16_rate = rates["bfloat16"]
 
     # ---- dense-scene lane count + measured frame times ----
     from fvsrn_tpu.camera import (CameraOnASphere, camera_matrix,
@@ -104,12 +122,15 @@ def main():
     print(f"planned lanes (rays x clipped steps, incl. mask waste): "
           f"{lanes/1e6:.1f} M", flush=True)
 
-    for tag, ops, meas_ms in (("fwd", OPS_PER_LANE_FWD, None),
-                              ("fwd+bwd", OPS_PER_LANE_FWDBWD, None)):
-        floor_ms = lanes * ops / f32_rate * 1e3
-        print(f"{tag}: {ops} ops/lane -> VPU floor "
-              f"{floor_ms:.1f} ms/frame at the calibrated "
-              f"{f32_rate/1e12:.2f} Tops", flush=True)
+    # measured dense frame times (bench.py scan protocol, BENCH_r05)
+    MEAS = {"fwd": (0.077, OPS_PER_LANE_FWD),
+            "fwd+bwd": (0.223, OPS_PER_LANE_FWDBWD)}
+    for tag, (sec, ops) in MEAS.items():
+        eff = lanes * ops / sec
+        print(f"{tag}: measured {sec*1e3:.0f} ms, {ops} ops/lane "
+              f"-> EFFECTIVE {eff/1e12:.2f} Tops "
+              f"({eff/f32_rate:.1f}x the XLA-fusion chain rate; "
+              f"v5e VPU issue peak ~3.9-7.7 Tops)", flush=True)
 
     print(f"bf16/f32 VPU rate ratio: {bf16_rate/f32_rate:.2f} "
           f"(>1.5 would justify a bf16 act section; ~1.0 means the "
