@@ -78,3 +78,16 @@ def test_sweep_render_arm(tmp_path):
         render=True)
     for r in rows:
         assert np.isfinite(r["render_ms"]) and r["render_ms"] > 0
+
+
+def test_figures_generate(tmp_path):
+    """Figure generation (the reference emits plots for its paper
+    figures, README.md:137-163): all three artifact charts render from
+    the committed JSONs."""
+    from fvsrn_tpu.eval.figures import main
+    assert main(["--out", str(tmp_path)]) == 0
+    import os
+    made = sorted(os.listdir(tmp_path))
+    assert "compression_rd.png" in made
+    assert "bench_history.png" in made
+    assert "scaling.png" in made

@@ -105,3 +105,44 @@ def test_mega_occupancy_skip_matches_within_bound():
     frac = float(sa.mean())
     print("active fraction", frac)
     assert frac <= 1.0
+
+
+def test_occupancy_masks_honor_tmin_clip():
+    """Round-5 fix: plan_segment_occupancy must mirror a tmin-clipped
+    plan's shifted segment bases (k0 advances past the clip). Before,
+    the masks indexed UNSHIFTED segments and culled live ones --
+    measured as a 1.0 image error on the sparse flagship. Here: a
+    bucketed mega trace with tmin clip + occupancy masks must stay
+    within the alpha_skip bound of the same trace without masks."""
+    from fvsrn_tpu.ops.fused_dvr import (fused_trace_dvr_bucketed,
+                                         plan_ray_buckets)
+    from fvsrn_tpu.ops.occupancy import plan_segment_occupancy
+    net, _, rs, rd = _scene(True, output_mode="density")
+    tf = _zero_band_tf()
+    stepsize = 1 / 32
+    steps = max_steps_bound((1.0, 1.0, 1.0), stepsize)
+    bm, bs = (-0.5, -0.5, -0.5), (1.0, 1.0, 1.0)
+    seg, tile = 16, 64
+    rs_np, rd_np = np.asarray(rs), np.asarray(rd)
+    rng = np.random.default_rng(3)
+    tminc = (0.8 + 0.3 * rng.random(rs_np.shape[0])).astype(np.float32)
+    plan = plan_ray_buckets(rs_np, rd_np, bm, bs, stepsize=stepsize,
+                            seg=seg, tile=tile, n_buckets=2,
+                            grid_sizes=(8, 8, 8), tmin_clip=tminc)
+    nvol = VolumeInterpolationNetwork.make(net)
+    occ = build_occupancy(nvol, tf, resolution=16, fine=4,
+                          stepsize=stepsize, alpha_skip=1e-5)
+    sa = plan_segment_occupancy(plan, rs_np, rd_np, occ, bm, bs,
+                                stepsize=stepsize, seg=seg, tile=tile)
+
+    def render(mask):
+        return np.asarray(fused_trace_dvr_bucketed(
+            rs, rd, net, bm, bs, tf.tensor, plan=plan, engine="mega",
+            stepsize=stepsize, seg=seg, tile=tile,
+            enable_early_out=False, segment_active_groups=mask,
+            interpret=True))
+
+    base = render(None)
+    got = render(tuple(jnp.asarray(m) for m in sa))
+    bound = steps * 1e-5 + 2e-3
+    assert np.abs(got - base).max() < bound, np.abs(got - base).max()
