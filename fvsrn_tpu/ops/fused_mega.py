@@ -133,12 +133,16 @@ def build_boxfeat_slab(grid: Array, nxb_tot: int, yp: int) -> Array:
 def _mega_bases(ray_start, ray_dir, k0_ray, tmax, *, n_seg, seg, stepsize,
                 tile, has_latent, grid_sizes=None, box_min=None,
                 box_size=None, mspec: Optional[MegaSpec] = None,
-                nxb_tot=0, yp=0):
+                nxb_tot=0, yp=0, segment_active=None):
     """Vectorized XLA prologue: per-(tile, segment) slice bases + active
     flags, (T, S, 4) i32 [base_z, by8, xb0, active], plus the per-tile
     lattice base k0t (T, 1) f32. Same endpoint-bound math as
     fused_dvr._segment_boxfeat (certified by certify_boxfeat); mapped
-    over segments to bound peak memory."""
+    over segments to bound peak memory. ``segment_active``: optional
+    (T, >=n_seg) i32 occupancy mask ANDed into the active flags at
+    construction (folding it here avoids a post-hoc
+    dynamic-update-slice on the SMEM-layout bases -- measured ~3
+    ms/frame of XLA glue, round 5)."""
     h = jnp.float32(stepsize)
     r_total = ray_start.shape[0]
     n_tiles = r_total // tile
@@ -160,6 +164,9 @@ def _mega_bases(ray_start, ray_dir, k0_ray, tmax, *, n_seg, seg, stepsize,
         tb = jnp.minimum(tmx, (ka[:, None] + (seg - 1)) * h)
         alive = ta <= tb
         active = jnp.any(alive, axis=1).astype(jnp.int32)   # (T,)
+        if segment_active is not None:
+            active = active * jax.lax.dynamic_index_in_dim(
+                segment_active, s, axis=1, keepdims=False)
         if not has_latent:
             z = jnp.zeros_like(active)
             return jnp.stack([z, z, z, active], axis=1)
@@ -845,23 +852,22 @@ def mega_trace_dvr(ray_start: Array, ray_dir: Array,
                    iso_value=(float(iso_value)
                               if iso_value is not None else None))
 
-    bases, k0t = _mega_bases(
-        ray_start, ray_dir, k0_ray, tmax, n_seg=n_seg, seg=seg,
-        stepsize=stepsize, tile=tile, has_latent=has_latent,
-        grid_sizes=grid_sizes, box_min=box_min, box_size=box_size,
-        mspec=mspec, nxb_tot=nxb_tot, yp=yp)
+    sa = None
     if segment_active is not None:
         # may be traced (the product path feeds per-camera masks as jit
-        # arguments so quantize-stabilized plans share one program)
+        # arguments so quantize-stabilized plans share one program); a
+        # certified spec may march fewer segments than ceil(max_steps /
+        # seg) -- extra mask columns are simply unused
         sa = jnp.asarray(segment_active).astype(jnp.int32)
         if sa.shape[0] != r_total // tile or sa.shape[1] < n_seg:
             raise ValueError(
                 f"segment_active shape {sa.shape} incompatible with "
                 f"(n_tiles, >=n_seg) = {(r_total // tile, n_seg)}")
-        # a certified spec may march fewer segments than ceil(max_steps
-        # / seg) -- extra mask columns are simply unused
-        bases = bases.at[:, 0, 3].set(
-            bases[:, 0, 3] * sa[:, :n_seg].reshape(-1))
+    bases, k0t = _mega_bases(
+        ray_start, ray_dir, k0_ray, tmax, n_seg=n_seg, seg=seg,
+        stepsize=stepsize, tile=tile, has_latent=has_latent,
+        grid_sizes=grid_sizes, box_min=box_min, box_size=box_size,
+        mspec=mspec, nxb_tot=nxb_tot, yp=yp, segment_active=sa)
     basesf = None
     if resolve_groups > 1:
         # FINE window bases: the same prologue at sub-segment (seg/G
