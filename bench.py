@@ -158,7 +158,11 @@ def main():
         sa = None
         occ = None
         if occupancy:
-            occ = build_occupancy(nvol, tf, resolution=128, fine=1,
+            # fine=2 (2 samples per march step at this resolution):
+            # the occupancy module's conservativeness guidance; fine=1
+            # measured bitwise-equal here but samples only every ~4
+            # steps -- don't bank a bench on it
+            occ = build_occupancy(nvol, tf, resolution=128, fine=2,
                                   stepsize=STEPSIZE, alpha_skip=1e-5)
             sg = plan_segment_occupancy(plan, rs_np, rd_np, occ, bm, bs,
                                         stepsize=STEPSIZE, seg=32,

@@ -160,6 +160,18 @@ def _quantize_factors(factors: list[np.ndarray], sigmas: list[np.ndarray],
 
     Returns (mags uint64, signs uint8, deltas f32 per column, ranks).
     """
+    if vnorm <= 0.0:
+        # all-zero volume: factors reconstruct to zero regardless --
+        # emit zero quanta with unit steps (avoids 0-step divisions)
+        mags, signs, deltas, ranks = [], [], [], []
+        for f in factors:
+            n, r = f.shape
+            ranks.append(r)
+            mags.append(np.zeros(n * r, np.uint64))
+            signs.append(np.zeros(n * r, np.uint8))
+            deltas.append(np.ones(r, np.float32))
+        return (np.concatenate(mags), np.concatenate(signs),
+                np.concatenate(deltas), ranks)
     e_m = eps_f * vnorm / 3.0
     base_deltas = []
     for f, sig in zip(factors, sigmas):
@@ -293,6 +305,10 @@ def compress_tthresh(volume: np.ndarray, eps: float = 1e-3,
         "cut": cut,
         "amax": amax,
         "nbits": nbits,
+        # arithmetic-coder wire-format version: 2 = 15-bit
+        # probabilities (round 5); round-4 12-bit payloads decode to
+        # garbage silently without this marker
+        "acver": 2,
     }
     if use_ac:
         vnorm = float(np.sqrt(np.sum(c * c)))
@@ -356,6 +372,11 @@ def decompress_tthresh(data: bytes) -> np.ndarray:
     shape = blob["shape"]
     n = int(np.prod(shape))
     nbits = blob["nbits"]
+    if blob.get("entropy", "").startswith("ac") \
+            and blob.get("acver") != 2:
+        raise ValueError(
+            "legacy tthresh payload (pre-round-5 12-bit coder); "
+            "re-compress with the current library")
     if blob.get("entropy") == "ac3":
         from . import arith
         kept, signs_u8 = arith.decode_planes3d(blob["coeffs"], shape,
@@ -587,7 +608,7 @@ def compress_dwt(volume: np.ndarray, step: float = 3e-3,
             band_meta.append((nb, len(p)))
             payloads.append(p)
         blob = {"shape": v.shape, "levels": levels, "step": float(step),
-                "entropy": entropy, "bands": band_meta,
+                "entropy": entropy, "bands": band_meta, "acver": 2,
                 "coeffs": b"".join(payloads)}
     else:
         q = _deadzone_quantize(coeffs.ravel(), step)
@@ -595,7 +616,8 @@ def compress_dwt(volume: np.ndarray, step: float = 3e-3,
             q.astype(np.int32).tobytes()) if lz4io.available() \
             else q.astype(np.int32).tobytes()
         blob = {"shape": v.shape, "levels": levels, "step": float(step),
-                "entropy": "lz4", "coeffs": payload_c}
+                "entropy": "lz4", "quant": "deadzone",
+                "coeffs": payload_c}
     raw = pickle.dumps(blob)
     data = struct.pack("<i", len(raw)) + raw
     rec = decompress_dwt(data)
@@ -610,6 +632,16 @@ def decompress_dwt(data: bytes) -> np.ndarray:
     blob = pickle.loads(data[4:4 + raw_len])
     shape = blob["shape"]
     step = blob["step"]
+    if blob["entropy"] not in ("ac-sb", "ac-sb3", "lz4") \
+            or (blob["entropy"] == "lz4"
+                and blob.get("quant") != "deadzone"):
+        # round-4 blobs ('ac' whole-volume coding / round-quantized
+        # 'lz4') would silently mis-decode under the round-5 deadzone
+        # semantics and coder wire format -- refuse instead
+        raise ValueError(
+            f"legacy/unknown dwt payload (entropy="
+            f"{blob['entropy']!r}); re-compress with the current "
+            f"library")
     if blob["entropy"] in ("ac-sb", "ac-sb3"):
         from . import arith
         use3d = blob["entropy"] == "ac-sb3"

@@ -87,12 +87,15 @@ def fig_bench_history(root: str, out: str):
     import matplotlib.pyplot as plt
     rounds = []
     for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
-        m = re.search(r"BENCH_r(\d+)\.json", path)
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m is None:        # scratch copies like BENCH_r05_old.json
+            continue
         blob = json.load(open(path))
         parsed = blob.get("parsed", blob)
         if not isinstance(parsed, dict) or "value" not in parsed:
             continue
         rounds.append((int(m.group(1)), parsed))
+    rounds.sort()
     if not rounds:
         return None
     xs = [r for r, _ in rounds]

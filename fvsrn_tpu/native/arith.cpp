@@ -6,7 +6,7 @@
 // tthresh codec); this is a from-scratch implementation of the same
 // *idea* built on the standard LZMA-style binary range coder (public
 // textbook construction: 32-bit range, 64-bit low with carry cache,
-// 12-bit adaptive probabilities) with significance/refinement/sign
+// 15-bit adaptive probabilities) with significance/refinement/sign
 // contexts per bitplane -- the zero runs the paper handles with RLE
 // are absorbed by the per-plane significance contexts (a run of zeros
 // costs a fraction of a bit per symbol once the model adapts).

@@ -74,7 +74,9 @@ async function refresh() {
   try {
     const r = await fetch('/render?' + q);
     const frames = +(r.headers.get('X-Frames') || 1);
+    const old = img.src;
     img.src = URL.createObjectURL(await r.blob());
+    if (old.startsWith('blob:')) URL.revokeObjectURL(old);
     stat.textContent = (performance.now() - t0).toFixed(0) + ' ms'
       + (progressive ? ' · ' + frames + ' passes' : '');
     busy = false;

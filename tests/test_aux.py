@@ -319,3 +319,30 @@ def test_dwt_chunked_brick_decompression():
     assert np.abs(rec - vol).max() < 0.05
     one = decompress_dwt_brick(r.payload, 1, 0, 1)
     np.testing.assert_array_equal(one, rec[16:32, 0:16, 16:32])
+
+
+def test_tthresh_all_zero_volume():
+    """Round-5 guard: a zero volume must not divide by zero-steps in
+    the factor quantizer (NaN->uint64 casts are platform-dependent)."""
+    from fvsrn_tpu.compression import compress_tthresh, decompress_tthresh
+    vol = np.zeros((8, 8, 8), np.float32)
+    r = compress_tthresh(vol, 1e-2)
+    rec = decompress_tthresh(r.payload)
+    np.testing.assert_allclose(rec, 0.0, atol=1e-12)
+
+
+def test_dwt_legacy_payload_refused():
+    """Round-5 format change: pre-round-5 dwt blobs (whole-volume 'ac'
+    coding / round-quantized 'lz4') must raise, not silently
+    mis-decode under deadzone semantics."""
+    import pickle
+    import struct
+
+    import pytest
+
+    from fvsrn_tpu.compression import decompress_dwt
+    blob = {"shape": (8, 8, 8), "levels": 1, "step": 1e-3,
+            "entropy": "ac", "nbits": 4, "coeffs": b"xx"}
+    raw = pickle.dumps(blob)
+    with pytest.raises(ValueError, match="legacy"):
+        decompress_dwt(struct.pack("<i", len(raw)) + raw)

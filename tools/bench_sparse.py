@@ -18,6 +18,9 @@ Arms (512^2, stepsize 1/512):
 Numeric gate: fused vs plain-lattice oracle at the SAME clips on a ray
 subset (image + gradients), plus occ-vs-no-occ image equality.
 
+EXPLORATORY tool: the contracted sparse arms (and their numeric
+gates) live in bench.py -- keep protocol changes there.
+
 Usage: tools/tpurun.sh tools/bench_sparse.py /tmp/bench_sparse.log
 """
 import os
@@ -88,8 +91,6 @@ def main():
                             seg=seg, tile=tile, n_buckets=3,
                             grid_sizes=(32, 32, 32), tmax_clip=clip,
                             tmin_clip=ent)
-    spans0 = float(np.mean(np.repeat(plan0.group_steps,
-                                     plan0.group_sizes) if False else 0))
     print("plan0 group_steps", plan0.group_steps, "sizes",
           plan0.group_sizes, "dead", plan0.dead, flush=True)
     print("plan  group_steps", plan.group_steps, "sizes",
