@@ -227,9 +227,21 @@ def main():
 
     def timed_groups(fn, *args, groups=3):
         """Mean per-frame seconds over `groups` scan dispatches (one
-        scalar fetch each; block_until_ready lies on axon)."""
-        out = fn(*args)
-        _ = float(np.asarray(out).ravel()[0])     # warm-up + compile
+        scalar fetch each; block_until_ready lies on axon). The warm-up
+        compile retries through transient tunnel RPC flakes (observed:
+        'remote_compile: response body closed' killing an otherwise
+        healthy run)."""
+        for attempt in range(3):
+            try:
+                out = fn(*args)
+                _ = float(np.asarray(out).ravel()[0])  # warm-up+compile
+                break
+            except Exception as e:                     # noqa: BLE001
+                if attempt == 2:
+                    raise
+                print(f"warm-up attempt {attempt} failed ({e}); "
+                      f"retrying", file=sys.stderr)
+                time.sleep(30)
         dts = []
         for _i in range(groups):
             t0 = time.perf_counter()
